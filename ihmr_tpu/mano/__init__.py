@@ -1,0 +1,8 @@
+from ihmr_tpu.mano.model import ManoModel, FINGERTIP_VERTEX_IDS, MANO_PARENTS  # noqa: F401
+from ihmr_tpu.mano.loader import load_mano_model, synthetic_mano_model  # noqa: F401
+from ihmr_tpu.mano.layer import (  # noqa: F401
+    mano_decode,
+    two_hand_decode_mirrored,
+    two_hand_decode,
+    HandParams,
+)

@@ -1,0 +1,228 @@
+"""Differentiable MANO decode and two-hand composition, pure JAX.
+
+This is north-star kernel #1 of the rebuild (SURVEY.md §3.5). The decode is
+written batched (leading batch dim everywhere) so the blend-shape and skinning
+contractions are large matmuls that XLA tiles onto the MXU; the 16-step
+kinematic chain is unrolled statically (fixed tree, no traced control flow).
+
+Semantics match the reference's use of smplx MANO plus its joint augmentation
+and two-hand composition:
+  * 16 LBS joints + 5 fingertip vertices -> 21 joints/hand
+    (ref: src/models/baseline_model.py:228-232)
+  * mirrored single-model trick for left hands: flip y/z of the left
+    axis-angle params, decode with the right model, negate x of the outputs
+    (ref: src/models/optimize_model.py:171-232, mlp_model.py:234-294)
+  * left hand anchored to the right wrist plus a predicted 3-d translation
+    (ref: baseline_model.py:243-250)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+# MANO outputs feed millimeter-scale collision/MPJPE metrics; the TPU default
+# bf16 matmul precision costs ~0.3% relative vertex error, so the decode pins
+# fp32 accumulation explicitly. (Measured: bf16 einsum deviates 3e-3 on a
+# weights-x-identity contraction; fp32 'highest' deviates 2e-7.)
+_PREC = jax.lax.Precision.HIGHEST
+
+from ihmr_tpu.core.rotations import axis_angle_to_matrix, flip_hand_pose
+from ihmr_tpu.mano.model import FINGERTIP_VERTEX_IDS, MANO_PARENTS, ManoModel
+
+_TIPS = jnp.asarray(FINGERTIP_VERTEX_IDS)
+
+
+@flax.struct.dataclass
+class HandParams:
+    """The 122-dim two-hand parameter vector, split into its factor groups.
+
+    Layout of the flat vector (ref: src/options/base_options.py:33-38 and
+    src/models/optimize_model.py:235-251):
+      [cam(3) | right pose(48) | left pose(48) | right betas(10) |
+       left betas(10) | hand trans(3)]
+    where each 48-d pose = [global orient(3) | articulation(45)].
+    """
+
+    cam: jnp.ndarray  # (..., 3)
+    right_orient: jnp.ndarray  # (..., 3)
+    left_orient: jnp.ndarray  # (..., 3)
+    right_pose: jnp.ndarray  # (..., 45)
+    left_pose: jnp.ndarray  # (..., 45)
+    right_shape: jnp.ndarray  # (..., 10)
+    left_shape: jnp.ndarray  # (..., 10)
+    trans: jnp.ndarray  # (..., 3)
+
+    @classmethod
+    def from_flat(cls, params: jnp.ndarray) -> "HandParams":
+        assert params.shape[-1] == 122, params.shape
+        return cls(
+            cam=params[..., 0:3],
+            right_orient=params[..., 3:6],
+            right_pose=params[..., 6:51],
+            left_orient=params[..., 51:54],
+            left_pose=params[..., 54:99],
+            right_shape=params[..., 99:109],
+            left_shape=params[..., 109:119],
+            trans=params[..., 119:122],
+        )
+
+    def to_flat(self) -> jnp.ndarray:
+        return jnp.concatenate(
+            [
+                self.cam,
+                self.right_orient,
+                self.right_pose,
+                self.left_orient,
+                self.left_pose,
+                self.right_shape,
+                self.left_shape,
+                self.trans,
+            ],
+            axis=-1,
+        )
+
+    @property
+    def pose_params(self) -> jnp.ndarray:
+        """(..., 96) = [right 48 | left 48]."""
+        return jnp.concatenate(
+            [self.right_orient, self.right_pose, self.left_orient, self.left_pose], axis=-1
+        )
+
+    @property
+    def shape_params(self) -> jnp.ndarray:
+        """(..., 20) = [right 10 | left 10]."""
+        return jnp.concatenate([self.right_shape, self.left_shape], axis=-1)
+
+
+def mano_decode(
+    model: ManoModel,
+    global_orient: jnp.ndarray,  # (B, 3)
+    hand_pose: jnp.ndarray,  # (B, 45)
+    betas: jnp.ndarray,  # (B, 10)
+    hands_mean: Optional[jnp.ndarray] = None,  # (45,) smplx flat_hand_mean=False offset
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-hand MANO forward. Returns (verts (B, 778, 3), joints (B, 16, 3))."""
+    if hands_mean is not None:
+        hand_pose = hand_pose + hands_mean
+    B = global_orient.shape[0]
+    dtype = model.v_template.dtype
+
+    pose = jnp.concatenate([global_orient, hand_pose], axis=-1).reshape(B, 16, 3)
+    rots = axis_angle_to_matrix(pose.astype(dtype))  # (B, 16, 3, 3)
+
+    # shape blendshapes (MXU: (B,10) x (10, 2334))
+    v_shaped = model.v_template + jnp.einsum(
+        "bs,vcs->bvc", betas.astype(dtype), model.shapedirs, precision=_PREC
+    )
+    j_rest = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped, precision=_PREC)  # (B, 16, 3)
+
+    # pose blendshapes (MXU: (B,135) x (135, 2334))
+    eye = jnp.eye(3, dtype=dtype)
+    pose_feature = (rots[:, 1:] - eye).reshape(B, 135)
+    v_posed = v_shaped + jnp.einsum(
+        "bl,lk->bk", pose_feature, model.posedirs, precision=_PREC
+    ).reshape(
+        B, 778, 3
+    )
+
+    # forward kinematics along the (static) MANO tree
+    rel_j = j_rest - jnp.where(
+        (MANO_PARENTS >= 0)[None, :, None],
+        j_rest[:, jnp.maximum(MANO_PARENTS, 0)],
+        0.0,
+    )
+    glob_rot = [rots[:, 0]]
+    glob_pos = [rel_j[:, 0]]
+    for k in range(1, 16):
+        p = int(MANO_PARENTS[k])
+        glob_rot.append(glob_rot[p] @ rots[:, k])
+        glob_pos.append(
+            glob_pos[p] + jnp.einsum("bij,bj->bi", glob_rot[p], rel_j[:, k], precision=_PREC)
+        )
+    R = jnp.stack(glob_rot, axis=1)  # (B, 16, 3, 3)
+    t = jnp.stack(glob_pos, axis=1)  # (B, 16, 3)
+
+    # remove rest pose: per-joint affine = [R | t - R @ j_rest]
+    t_rel = t - jnp.einsum("bjik,bjk->bji", R, j_rest, precision=_PREC)
+    # skinning (MXU: (778,16) x (16, B*12))
+    Rv = jnp.einsum("vj,bjik->bvik", model.lbs_weights, R, precision=_PREC)
+    tv = jnp.einsum("vj,bji->bvi", model.lbs_weights, t_rel, precision=_PREC)
+    verts = jnp.einsum("bvik,bvk->bvi", Rv, v_posed, precision=_PREC) + tv
+    return verts, t
+
+
+def joints21(verts: jnp.ndarray, lbs_joints: jnp.ndarray) -> jnp.ndarray:
+    """Append the 5 fingertip vertices to the 16 LBS joints (B, 21, 3)."""
+    return jnp.concatenate([lbs_joints, verts[:, _TIPS]], axis=1)
+
+
+def two_hand_decode_mirrored(
+    right_model: ManoModel,
+    right_orient: jnp.ndarray,
+    left_orient: jnp.ndarray,
+    right_pose: jnp.ndarray,
+    left_pose: jnp.ndarray,
+    right_shape: jnp.ndarray,
+    left_shape: jnp.ndarray,
+    trans: jnp.ndarray,
+    hands_mean: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-hand decode through ONE (right) model at batch 2B.
+
+    Returns (right_verts (B,778,3), left_verts (B,778,3), joints (B,42,3)).
+    The left-hand mesh produced this way has inward-facing winding under the
+    right model's faces; collision/visualization must flip winding for left
+    (handled by consumers via ``ManoModel.faces[:, ::-1]``).
+    """
+    B = right_orient.shape[0]
+    orient = jnp.concatenate([right_orient, flip_hand_pose(left_orient)], axis=0)
+    pose = jnp.concatenate([right_pose, flip_hand_pose(left_pose)], axis=0)
+    betas = jnp.concatenate([right_shape, left_shape], axis=0)
+
+    verts, lbs_j = mano_decode(right_model, orient, pose, betas, hands_mean)
+    joints = joints21(verts, lbs_j)
+
+    right_verts, left_verts = verts[:B], verts[B:]
+    right_joints, left_joints = joints[:B], joints[B:]
+    mirror = jnp.asarray([-1.0, 1.0, 1.0], verts.dtype)
+    left_verts = left_verts * mirror
+    left_joints = left_joints * mirror
+
+    # anchor left wrist to right wrist + predicted translation
+    shift = trans[:, None, :] + right_joints[:, 0:1, :] - left_joints[:, 0:1, :]
+    left_verts = left_verts + shift
+    left_joints = left_joints + shift
+    return right_verts, left_verts, jnp.concatenate([right_joints, left_joints], axis=1)
+
+
+def two_hand_decode(
+    right_model: ManoModel,
+    left_model: ManoModel,
+    pose_params: jnp.ndarray,  # (B, 96)
+    shape_params: jnp.ndarray,  # (B, 20)
+    trans: jnp.ndarray,  # (B, 3)
+    hands_mean_right: Optional[jnp.ndarray] = None,
+    hands_mean_left: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-model decode (baseline path; ref baseline_model.py:208-254)."""
+    outs = {}
+    for hand, model, mean, pose_shift, betas_shift in (
+        ("right", right_model, hands_mean_right, 0, 0),
+        ("left", left_model, hands_mean_left, 48, 10),
+    ):
+        orient = pose_params[:, pose_shift : pose_shift + 3]
+        pose = pose_params[:, pose_shift + 3 : pose_shift + 48]
+        betas = shape_params[:, betas_shift : betas_shift + 10]
+        verts, lbs_j = mano_decode(model, orient, pose, betas, mean)
+        outs[hand] = (verts, joints21(verts, lbs_j))
+
+    right_verts, right_joints = outs["right"]
+    left_verts, left_joints = outs["left"]
+    shift = trans[:, None, :] + right_joints[:, 0:1, :] - left_joints[:, 0:1, :]
+    left_verts = left_verts + shift
+    left_joints = left_joints + shift
+    return right_verts, left_verts, jnp.concatenate([right_joints, left_joints], axis=1)
