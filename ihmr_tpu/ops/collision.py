@@ -1,0 +1,201 @@
+"""SDF-style interpenetration loss between two hand meshes, pure JAX.
+
+Replaces the reference's CUDA ``sdf`` extension (the SDF_ihmr package; see
+ref src/models/loss_utils.py:13,34-38,174-193). The reference voxelizes each
+hand into a 32^3 signed-distance grid on GPU and trilinearly samples the other
+hand's vertices against it — an approximation chosen for GPU rasterization.
+
+TPU-first redesign (exact, not grid-sampled):
+  1. vertex->triangle-centroid squared distances via one MXU matmul
+     (||q||^2 + ||c||^2 - 2 q.c), shape (778, 1538) per direction;
+  2. top-K nearest candidate triangles per query vertex (static K);
+  3. exact point-triangle closest-point refinement (branchless Ericson
+     algorithm, VPU) over the K candidates only;
+  4. sign from the winning triangle's outward face normal: a vertex is
+     penetrating iff dot(q - closest, n) < 0.
+
+Everything is static-shaped, differentiable, and ``vmap``s over the batch, so
+it fuses inside the refinement ``lax.scan``.
+
+Outputs reproduce the reference triple contract
+(ref loss_utils.py:174-193):
+    (scalar batch-mean loss,
+     per-sample loss (B,),
+     per-vertex ORIGIN-SCALE penetration depths (B, 1556))
+with the per-vert origin-scale being raw penetration depth in mesh units
+(consumed by the collision_ave / collision_max metrics, ref
+src/utils/evaluator.py:163-181) and the per-sample loss being the sum of
+squared normalized depths with optional GMoF robustifier (the reference
+robustifier caps large penetrations during training; exact CUDA semantics are
+not recoverable without the closed-source-adjacent package, so the robustifier
+here is the standard Geman-McClure x^2/(x^2+rho^2)).
+
+Vertex ordering of the 1556-vector: [right 778 | left 778] — matching the
+evaluator's flip-back which swaps halves (ref evaluator.py:118-120).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-12
+
+
+def point_triangle_closest(p: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Closest point on triangle(s) to point(s).
+
+    p: (..., 3); tri: (..., 3, 3) [three vertices]. Returns (..., 3).
+    Branchless Ericson region test (safe denominators for autodiff).
+    """
+    a, b, c = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    ab = b - a
+    ac = c - a
+    ap = p - a
+
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = p - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    def safe_div(num, den):
+        den = jnp.where(jnp.abs(den) < _EPS, jnp.where(den < 0, -_EPS, _EPS), den)
+        return num / den
+
+    # candidate closest points for every region
+    v_ab = safe_div(d1, d1 - d3)
+    p_ab = a + v_ab[..., None] * ab
+    v_ac = safe_div(d2, d2 - d6)
+    p_ac = a + v_ac[..., None] * ac
+    v_bc = safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
+    p_bc = b + v_bc[..., None] * (c - b)
+    denom = safe_div(jnp.ones_like(va), va + vb + vc)
+    v_f = vb * denom
+    w_f = vc * denom
+    p_face = a + v_f[..., None] * ab + w_f[..., None] * ac
+
+    # region predicates (applied in priority order, innermost wins last)
+    out = p_face
+    in_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+    out = jnp.where(in_bc[..., None], p_bc, out)
+    in_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    out = jnp.where(in_ac[..., None], p_ac, out)
+    in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    out = jnp.where(in_ab[..., None], p_ab, out)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    out = jnp.where(in_c[..., None], c, out)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    out = jnp.where(in_b[..., None], b, out)
+    in_a = (d1 <= 0) & (d2 <= 0)
+    out = jnp.where(in_a[..., None], a, out)
+    return out
+
+
+def penetration_depth(
+    query: jnp.ndarray,  # (V, 3)
+    mesh_verts: jnp.ndarray,  # (Vm, 3)
+    faces: jnp.ndarray,  # (F, 3) int, outward winding
+    num_candidates: int = 8,
+) -> jnp.ndarray:
+    """Per-query penetration depth into a closed mesh; 0 outside. (V,)"""
+    tri = mesh_verts[faces]  # (F, 3, 3)
+    centroid = jnp.mean(tri, axis=1)  # (F, 3)
+
+    # (V, F) squared distances on the MXU. bf16-tolerant: only ranks matter.
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)  # (V, 1)
+    c2 = jnp.sum(centroid * centroid, axis=-1)[None, :]  # (1, F)
+    qc = query @ centroid.T  # (V, F) matmul
+    d2 = q2 + c2 - 2.0 * qc
+
+    # K nearest candidate triangles (static K)
+    _, idx = jax.lax.top_k(-d2, num_candidates)  # (V, K)
+    tri_k = tri[idx]  # (V, K, 3, 3)
+
+    # exact refinement on candidates
+    closest = point_triangle_closest(query[:, None, :], tri_k)  # (V, K, 3)
+    diff = query[:, None, :] - closest
+    dist2 = jnp.sum(diff * diff, axis=-1)  # (V, K)
+    best = jnp.argmin(dist2, axis=-1)  # (V,)
+
+    take = lambda arr: jnp.take_along_axis(
+        arr, best[:, None, None, None] if arr.ndim == 4 else best[:, None], axis=1
+    )
+    tri_best = jnp.take_along_axis(tri_k, best[:, None, None, None], axis=1)[:, 0]  # (V,3,3)
+    closest_best = jnp.take_along_axis(closest, best[:, None, None], axis=1)[:, 0]  # (V,3)
+    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(dist2, best[:, None], axis=1)[:, 0], _EPS))
+
+    normal = jnp.cross(tri_best[:, 1] - tri_best[:, 0], tri_best[:, 2] - tri_best[:, 0])
+    inside = jnp.sum((query - closest_best) * normal, axis=-1) < 0
+    return jnp.where(inside, dist, 0.0)
+
+
+def _pair_depths(
+    right_verts: jnp.ndarray,  # (778, 3)
+    left_verts: jnp.ndarray,  # (778, 3)
+    faces_right: jnp.ndarray,
+    faces_left: jnp.ndarray,
+    num_candidates: int,
+) -> jnp.ndarray:
+    """(1556,) raw penetration depths: right verts into left mesh, then
+    left verts into right mesh."""
+    d_r = penetration_depth(right_verts, left_verts, faces_left, num_candidates)
+    d_l = penetration_depth(left_verts, right_verts, faces_right, num_candidates)
+    return jnp.concatenate([d_r, d_l], axis=0)
+
+
+@partial(jax.jit, static_argnames=("num_candidates", "robustifier"))
+def collision_loss(
+    right_verts: jnp.ndarray,  # (B, 778, 3)
+    left_verts: jnp.ndarray,  # (B, 778, 3)
+    faces_right: jnp.ndarray,  # (F, 3)
+    faces_left: jnp.ndarray,  # (F, 3)
+    hand_type_array: jnp.ndarray,  # (B, 2)
+    robustifier: Optional[float] = None,
+    num_candidates: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reference-contract collision loss (see module docstring).
+
+    Returns (mean_loss (), per_sample (B,), per_vert_origin_scale (B, 1556)).
+    Non-interacting samples (sum(hand_type) <= 1.5) contribute zero loss but
+    keep their raw origin-scale depths (ref loss_utils.py:186-189).
+    """
+    depths = jax.vmap(
+        lambda r, l: _pair_depths(r, l, faces_right, faces_left, num_candidates)
+    )(right_verts, left_verts)  # (B, 1556)
+
+    # normalization scale: half the max extent of the two-hand union AABB
+    allv = jnp.concatenate([right_verts, left_verts], axis=1)  # (B, 1556, 3)
+    extent = jnp.max(allv, axis=1) - jnp.min(allv, axis=1)  # (B, 3)
+    scale = 0.5 * jnp.max(extent, axis=-1, keepdims=True)  # (B, 1)
+    scale = jnp.maximum(scale, 1e-6)
+
+    d_norm = depths / scale
+    per_vert_loss = d_norm * d_norm
+    if robustifier is not None:
+        # Geman-McClure: ~x for x << rho^2, saturating at rho^2 for deep
+        # penetrations (caps the gradient like the reference's robustifier).
+        rho2 = float(robustifier) ** 2
+        per_vert_loss = rho2 * per_vert_loss / (per_vert_loss + rho2)
+
+    per_sample = jnp.sum(per_vert_loss, axis=-1)  # (B,)
+    interacting = (jnp.sum(hand_type_array, axis=-1) > 1.5).astype(per_sample.dtype)
+    per_sample = per_sample * interacting
+    return jnp.mean(per_sample), per_sample, depths
+
+
+def mesh_volume(verts: np.ndarray, faces: np.ndarray) -> float:
+    """Signed volume of a closed mesh (host-side sanity helper)."""
+    tri = np.asarray(verts)[np.asarray(faces)]
+    return float(np.sum(np.einsum("fi,fi->f", tri[:, 0], np.cross(tri[:, 1], tri[:, 2]))) / 6.0)

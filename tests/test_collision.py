@@ -1,0 +1,161 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ihmr_tpu.ops.collision import (
+    collision_loss,
+    mesh_volume,
+    penetration_depth,
+    point_triangle_closest,
+)
+
+
+def icosphere(radius=1.0, center=(0, 0, 0), n=200):
+    """Closed convex triangulated sphere via convex hull of a fibonacci set."""
+    from scipy.spatial import ConvexHull
+
+    i = np.arange(n) + 0.5
+    phi = np.arccos(1 - 2 * i / n)
+    theta = np.pi * (1 + 5**0.5) * i
+    pts = np.stack([np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi), np.cos(phi)], 1)
+    hull = ConvexHull(pts)
+    faces = hull.simplices.astype(np.int64)
+    tri = pts[faces]
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    outward = np.einsum("fd,fd->f", normals, tri.mean(1)) > 0
+    faces[~outward] = faces[~outward][:, ::-1]
+    verts = pts * radius + np.asarray(center)
+    return verts.astype(np.float32), faces
+
+
+class TestPointTriangle:
+    def test_face_projection(self):
+        tri = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]])
+        p = jnp.asarray([[0.25, 0.25, 5.0]])
+        out = np.asarray(point_triangle_closest(p, tri))
+        np.testing.assert_allclose(out, [[0.25, 0.25, 0.0]], atol=1e-6)
+
+    def test_vertex_region(self):
+        tri = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]])
+        p = jnp.asarray([[-1.0, -1.0, 0.0]])
+        out = np.asarray(point_triangle_closest(p, tri))
+        np.testing.assert_allclose(out, [[0, 0, 0]], atol=1e-6)
+
+    def test_edge_region(self):
+        tri = jnp.asarray([[[0.0, 0, 0], [1, 0, 0], [0, 1, 0]]])
+        p = jnp.asarray([[0.5, -2.0, 0.0]])
+        out = np.asarray(point_triangle_closest(p, tri))
+        np.testing.assert_allclose(out, [[0.5, 0, 0]], atol=1e-6)
+
+    def test_random_brute_force(self):
+        rng = np.random.RandomState(0)
+        tri = jnp.asarray(rng.randn(64, 3, 3).astype(np.float32))
+        p = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+        ours = np.asarray(point_triangle_closest(p, tri))
+        # dense barycentric sampling as ground truth
+        u = np.linspace(0, 1, 80)
+        uu, vv = np.meshgrid(u, u)
+        mask = uu + vv <= 1
+        bary = np.stack([1 - uu[mask] - vv[mask], uu[mask], vv[mask]], 1)  # (M, 3)
+        pts = np.einsum("mk,fkd->fmd", bary, np.asarray(tri))
+        brute = np.min(np.linalg.norm(pts - np.asarray(p)[:, None], axis=2), axis=1)
+        d_ours = np.linalg.norm(ours - np.asarray(p), axis=1)
+        assert np.all(d_ours <= brute + 1e-3)
+
+
+class TestPenetrationDepth:
+    def test_sphere_depths(self):
+        verts, faces = icosphere(1.0)
+        rng = np.random.RandomState(1)
+        dirs = rng.randn(50, 3)
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        radii = rng.uniform(0.2, 1.6, size=(50, 1))
+        q = (dirs * radii).astype(np.float32)
+        depth = np.asarray(penetration_depth(jnp.asarray(q), jnp.asarray(verts), jnp.asarray(faces)))
+        expected = np.maximum(1.0 - radii[:, 0], 0.0)
+        np.testing.assert_allclose(depth, expected, atol=0.03)  # faceted sphere tolerance
+
+    def test_outside_is_zero(self):
+        verts, faces = icosphere(1.0)
+        q = np.asarray([[2.0, 0, 0], [0, 3, 0], [0, 0, -5]], np.float32)
+        depth = np.asarray(penetration_depth(jnp.asarray(q), jnp.asarray(verts), jnp.asarray(faces)))
+        np.testing.assert_allclose(depth, 0.0, atol=1e-6)
+
+    def test_winding_flip_inverts_sign(self):
+        verts, faces = icosphere(1.0)
+        q = np.zeros((1, 3), np.float32)
+        inside = np.asarray(penetration_depth(jnp.asarray(q), jnp.asarray(verts), jnp.asarray(faces)))
+        flipped = np.asarray(
+            penetration_depth(jnp.asarray(q), jnp.asarray(verts), jnp.asarray(faces[:, ::-1]))
+        )
+        assert inside[0] > 0.5
+        assert flipped[0] == 0.0
+
+
+class TestCollisionLoss:
+    def _two_spheres(self, gap):
+        rv, faces = icosphere(0.5, center=(0, 0, 0))
+        lv, _ = icosphere(0.5, center=(1.0 + gap, 0, 0))
+        return (
+            jnp.asarray(rv)[None],
+            jnp.asarray(lv)[None],
+            jnp.asarray(faces),
+            jnp.asarray(faces),
+        )
+
+    def test_separated_is_zero(self):
+        rv, lv, fr, fl = self._two_spheres(gap=0.2)
+        loss, per_sample, origin = collision_loss(rv, lv, fr, fl, jnp.ones((1, 2)))
+        assert float(loss) == 0.0
+        np.testing.assert_allclose(np.asarray(origin), 0.0, atol=1e-6)
+
+    def test_overlapping_positive(self):
+        rv, lv, fr, fl = self._two_spheres(gap=-0.2)
+        loss, per_sample, origin = collision_loss(rv, lv, fr, fl, jnp.ones((1, 2)))
+        assert float(loss) > 0
+        origin = np.asarray(origin[0])
+        # deepest penetration ~ 0.2 (sphere overlap), origin scale is raw units
+        assert 0.1 < origin.max() < 0.3
+        # both halves (right-into-left and left-into-right) see penetration
+        half = origin.shape[0] // 2
+        assert origin[:half].max() > 0.05 and origin[half:].max() > 0.05
+
+    def test_non_interacting_zeroed_but_origin_kept(self):
+        rv, lv, fr, fl = self._two_spheres(gap=-0.2)
+        ht = jnp.asarray([[1.0, 0.0]])  # right-only sample
+        loss, per_sample, origin = collision_loss(rv, lv, fr, fl, ht)
+        assert float(loss) == 0.0 and float(per_sample[0]) == 0.0
+        assert np.asarray(origin).max() > 0.1  # raw depths still reported
+
+    def test_robustifier_caps(self):
+        rv, lv, fr, fl = self._two_spheres(gap=-0.4)
+        loss_plain, _, _ = collision_loss(rv, lv, fr, fl, jnp.ones((1, 2)))
+        loss_rob, _, _ = collision_loss(rv, lv, fr, fl, jnp.ones((1, 2)), robustifier=0.1)
+        assert float(loss_rob) < float(loss_plain)
+
+    def test_gradient_pushes_apart(self):
+        rv, lv, fr, fl = self._two_spheres(gap=-0.2)
+
+        def f(shift):
+            return collision_loss(rv, lv + shift, fr, fl, jnp.ones((1, 2)))[0]
+
+        g = jax.grad(f)(jnp.zeros(3))
+        # moving left sphere further +x reduces the loss -> negative x-gradient...
+        # (gradient points uphill, so g[0] < 0 means loss decreases as shift_x grows)
+        assert float(g[0]) < 0
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_batch_and_jit(self):
+        rv, lv, fr, fl = self._two_spheres(gap=-0.1)
+        rv4 = jnp.tile(rv, (4, 1, 1))
+        lv4 = jnp.tile(lv, (4, 1, 1))
+        loss, per_sample, origin = collision_loss(rv4, lv4, fr, fl, jnp.ones((4, 2)))
+        assert per_sample.shape == (4,)
+        assert origin.shape == (4, 2 * rv.shape[1])
+        np.testing.assert_allclose(np.asarray(per_sample), float(per_sample[0]), rtol=1e-5)
+
+    def test_volume_helper(self):
+        verts, faces = icosphere(1.0)
+        vol = mesh_volume(verts, faces)
+        assert abs(vol - 4 / 3 * np.pi) < 0.3
