@@ -1,0 +1,95 @@
+"""Benchmark: IHMR-OPT end-to-end refinement throughput on one TPU chip.
+
+Workload (the BASELINE.json headline metric, "hands/sec (infer + OPT
+refine)"): encoder inference (ResNet-50 -> 122 params) followed by the FULL
+opt_default refinement — 4 stages x 301 Adam steps with the collision loss in
+the loop, snapshot filter/select semantics identical to the reference
+(save_mid_freq=10, matching bash/optimize.sh:11) — for a batch of images,
+entirely on-device as one jitted program per stage.
+
+Baseline: the reference publishes no numbers (BASELINE.md). ``VS_BASELINE_
+REF`` is an *estimate* of the reference pipeline on one A100: the CUDA SDF
+evaluates a 32^3 grid x 1538 triangles per hand per step (~5 GFLOP/sample/
+step, ~2.4 TFLOP/step at batch 512 vs ~19 fp32 TFLOP/s peak), plus 1204
+sequential Python-loop steps of MANO forward/backward => >= ~120 ms/step,
+~145 s per 512-sample batch ~= 3.5 hands/sec. Replace with a measured number
+when the reference can be run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+VS_BASELINE_REF = 3.5  # estimated reference hands/sec on one A100 (see docstring)
+BATCH = int(os.environ.get("IHMR_BENCH_BATCH", "128"))
+REPEATS = int(os.environ.get("IHMR_BENCH_REPEATS", "3"))
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ihmr_tpu.data.synthetic import make_opt_inputs
+    from ihmr_tpu.mano import synthetic_mano_model
+    from ihmr_tpu.models import InterHandEncoder, build_mean_params
+    from ihmr_tpu.refine import OptConfig, opt_default, optimize_batch
+
+    log(f"devices: {jax.devices()}  batch={BATCH}")
+    mano = synthetic_mano_model()
+
+    # --- encoder inference (the "infer" part)
+    encoder = InterHandEncoder(arch="resnet50")
+    mean_params = build_mean_params(np.zeros(48, np.float32), np.zeros(10, np.float32))
+    images = jnp.zeros((BATCH, 224, 224, 3), jnp.float32)
+    variables = encoder.init(jax.random.PRNGKey(0), images, mean_params)
+    infer = jax.jit(lambda v, x: encoder.apply(v, x, mean_params))
+
+    # --- OPT refinement (the hot workload)
+    params, opt_batch = make_opt_inputs(mano, batch=BATCH, seed=0)
+    config = OptConfig(save_mid_freq=10)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(infer(variables, images))
+    out_params, results = optimize_batch(mano, params, opt_batch, opt_default, config)
+    jax.block_until_ready(out_params)
+    log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    times = []
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        pred, _ = infer(variables, images)
+        out_params, results = optimize_batch(mano, params, opt_batch, opt_default, config)
+        jax.block_until_ready(out_params)
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        log(f"run {r}: {dt:.2f}s -> {BATCH / dt:.2f} hands/sec")
+
+    best = min(times)
+    hands_per_sec = BATCH / best
+    final_coll = float(jnp.mean(results["collision_loss"]))
+    log(f"final mean collision loss: {final_coll:.5f} (sanity: finite={np.isfinite(final_coll)})")
+
+    print(
+        json.dumps(
+            {
+                "metric": "hands/sec (infer + OPT refine, batch %d, 1 chip)" % BATCH,
+                "value": round(hands_per_sec, 3),
+                "unit": "hands/sec",
+                "vs_baseline": round(hands_per_sec / VS_BASELINE_REF, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

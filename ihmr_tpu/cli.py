@@ -1,0 +1,256 @@
+"""Command-line entry points.
+
+Replaces the reference's bash/*.sh + argparse options stack (ref src/options/
+and bash/) with one CLI:
+
+    python -m ihmr_tpu.cli train-baseline --data_root ... --anno_path ...
+    python -m ihmr_tpu.cli test-baseline  --ckpt ... --test_epoch latest
+    python -m ihmr_tpu.cli optimize       --strategy opt_default ...
+    python -m ihmr_tpu.cli train-mlp / test-mlp
+    python -m ihmr_tpu.cli visualize      --results evaluate_results/...pkl
+
+Multi-process DP: launch one process per host with JAX_PROCESS_* env (or
+jax.distributed.initialize args); each process consumes its rank's shard of
+the dataset exactly like the reference's DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--data_root", default="")
+    p.add_argument("--model_root", default="", help="MANO pkl + mean params dir")
+    p.add_argument("--param_root", default="")
+    p.add_argument("--anno_path", default="", help="annotation pkl path (relative to data_root)")
+    p.add_argument("--pred_path", default="", help="prediction pkl path (relative to data_root)")
+    p.add_argument("--batchSize", type=int, default=64)
+    p.add_argument("--inputSize", type=int, default=224)
+    p.add_argument("--checkpoints_dir", default="./checkpoints")
+    p.add_argument("--strategy", default="opt_default")
+    p.add_argument("--main_encoder", default="resnet50")
+    p.add_argument("--synthetic_mano", action="store_true", help="use synthetic MANO assets (no licensed files)")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world_size", type=int, default=1)
+
+
+def _load_mano(args):
+    import jax.numpy as jnp
+
+    from ihmr_tpu.mano import synthetic_mano_model
+    from ihmr_tpu.mano.loader import load_mano_pair, mirror_mano_model
+
+    if args.synthetic_mano or not args.model_root:
+        right = synthetic_mano_model()
+        return right, mirror_mano_model(right), None, None
+    pair = load_mano_pair(args.model_root)
+    (right, right_mean), (left, left_mean) = pair["right"], pair["left"]
+    return right, left, jnp.asarray(right_mean), jnp.asarray(left_mean)
+
+
+def _mean_params(args):
+    import numpy as np
+
+    from ihmr_tpu.models import build_mean_params
+    from ihmr_tpu.utils import io_utils
+
+    mean_file = osp.join(args.model_root, "mean_mano_params.pkl") if args.model_root else ""
+    if mean_file and osp.exists(mean_file):
+        vals = io_utils.load_pkl(mean_file)
+        return build_mean_params(np.asarray(vals["mean_pose"]), np.asarray(vals["mean_betas"]))
+    return build_mean_params(np.zeros(48, np.float32), np.zeros(10, np.float32))
+
+
+def cmd_train_baseline(args):
+    import jax
+
+    from ihmr_tpu.data import BaselineDataset, BatchLoader, DataConfig
+    from ihmr_tpu.models import InterHandEncoder
+    from ihmr_tpu.train import TrainConfig, create_state
+    from ihmr_tpu.train import checkpoint as ckpt
+    from ihmr_tpu.train.loops import train_baseline_loop
+
+    cfg = DataConfig(
+        data_root=args.data_root,
+        param_root=args.param_root,
+        anno_path=args.anno_path,
+        batch_size=args.batchSize,
+        world_size=args.world_size,
+        input_size=args.inputSize,
+        is_train=True,
+        use_random_flip=args.use_random_flip,
+        use_random_rescale=args.use_random_rescale,
+        use_random_position=args.use_random_position,
+        use_random_rotation=args.use_random_rotation,
+        use_color_jittering=args.use_color_jittering,
+        use_motion_blur=args.use_motion_blur,
+        blur_kernel_dir=args.blur_kernel_dir,
+    )
+    dataset = BaselineDataset(cfg)
+    dataset.load_data()
+    loader = BatchLoader(
+        dataset, args.batchSize, rank=args.rank, world_size=args.world_size,
+        shuffle=True, drop_last=True,
+    )
+    mano_right, mano_left, _, _ = _load_mano(args)
+    train_config = TrainConfig(
+        lr=args.lr,
+        lr_decay_type=args.lr_decay_type,
+        total_epoch=args.total_epoch,
+        use_collision_loss=args.use_collision_loss,
+        sdf_robustifier=args.sdf_robustifier,
+    )
+    encoder = InterHandEncoder(arch=args.main_encoder)
+    state = create_state(
+        encoder, _mean_params(args), train_config, jax.random.PRNGKey(0), args.inputSize
+    )
+    start_epoch = 1
+    if args.continue_train:
+        params = ckpt.load_network(args.checkpoints_dir, "baseline", "latest")
+        info = ckpt.load_info(args.checkpoints_dir, "latest")
+        if params is not None:
+            state = state.replace(params=params)
+        if info is not None:
+            start_epoch = int(info["epoch"]) + 1
+            print(f"resume from epoch {start_epoch}")
+    elif args.pretrain_weights:
+        imported, stats = ckpt.import_torch_resnet(
+            args.pretrain_weights,
+            state.params["main_encoder"],
+            state.batch_stats.get("main_encoder", {}),
+        )
+        state.params["main_encoder"] = imported
+        if stats:
+            state.batch_stats["main_encoder"] = stats
+        print(f"Loaded pretrained backbone from {args.pretrain_weights}")
+    train_baseline_loop(
+        encoder, state, loader, mano_right, mano_left, train_config,
+        args.checkpoints_dir, start_epoch=start_epoch,
+        print_freq=args.print_freq, save_epoch_freq=args.save_epoch_freq,
+        is_main=args.rank <= 0,
+    )
+
+
+def cmd_test_baseline(args):
+    import jax
+
+    from ihmr_tpu.data import BaselineDataset, BatchLoader, DataConfig
+    from ihmr_tpu.models import InterHandEncoder
+    from ihmr_tpu.train import TrainConfig, create_state
+    from ihmr_tpu.train import checkpoint as ckpt
+    from ihmr_tpu.train.loops import print_metrics, test_baseline_loop
+    from ihmr_tpu.utils import io_utils
+
+    cfg = DataConfig(
+        data_root=args.data_root, param_root=args.param_root, anno_path=args.anno_path,
+        batch_size=args.batchSize, world_size=args.world_size, input_size=args.inputSize,
+    )
+    dataset = BaselineDataset(cfg)
+    dataset.load_data()
+    loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
+    mano_right, mano_left, _, _ = _load_mano(args)
+    config = TrainConfig()
+    encoder = InterHandEncoder(arch=args.main_encoder)
+    state = create_state(encoder, _mean_params(args), config, jax.random.PRNGKey(0), args.inputSize)
+    params = ckpt.load_network(args.checkpoints_dir, "baseline", args.test_epoch)
+    assert params is not None, f"no checkpoint '{args.test_epoch}' in {args.checkpoints_dir}"
+    state = state.replace(params=params)
+    stats = ckpt.load_network(args.checkpoints_dir, "baseline_stats", args.test_epoch)
+    if stats is not None:
+        state = state.replace(batch_stats=stats)
+
+    evaluator = test_baseline_loop(encoder, state, loader, dataset, mano_right, mano_left, config)
+    evaluator.remove_redunc()
+    out_dir = osp.join("evaluate_results", "baseline")
+    io_utils.save_pkl(osp.join(out_dir, f"{dataset.name}.pkl"), evaluator)
+    print_metrics(evaluator, f"epoch {args.test_epoch}")
+
+
+def cmd_optimize(args):
+    from ihmr_tpu.data import BatchLoader, DataConfig, OPTDataset
+    from ihmr_tpu.refine import OptConfig, strategies
+    from ihmr_tpu.train.loops import optimize_loop, print_metrics
+    from ihmr_tpu.utils import io_utils
+
+    cfg = DataConfig(
+        data_root=args.data_root, param_root=args.param_root, anno_path=args.anno_path,
+        pred_path=args.pred_path, batch_size=args.batchSize, world_size=args.world_size,
+    )
+    dataset = OPTDataset(cfg)
+    dataset.load_data()
+    loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
+    mano_right, mano_left, _, _ = _load_mano(args)
+    config = OptConfig(optimizer=args.optimizer, save_mid_freq=args.save_mid_freq)
+    evaluator = optimize_loop(
+        mano_right, loader, dataset, strategies[args.strategy], config,
+        left_faces=mano_left.faces, is_main=args.rank <= 0,
+    )
+    evaluator.remove_redunc()
+    out_dir = osp.join("evaluate_results", "optimize")
+    io_utils.save_pkl(osp.join(out_dir, f"{dataset.name}.pkl"), evaluator)
+    print_metrics(evaluator, "optimize")
+
+
+def cmd_visualize(args):
+    from ihmr_tpu.utils import io_utils
+
+    evaluator = io_utils.load_pkl(args.results)
+    out_dir = args.out_dir or osp.join(osp.dirname(args.results), "objs")
+    io_utils.build_dir(out_dir)
+    evaluator.export_objs(out_dir, limit=args.limit)
+    print(f"wrote objs for {min(len(evaluator.pred_results), args.limit or 10**9)} samples to {out_dir}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="ihmr_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train-baseline")
+    _add_common(p)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_decay_type", choices=["none", "stage", "cosine"], default="cosine")
+    p.add_argument("--total_epoch", type=int, default=20)
+    p.add_argument("--print_freq", type=int, default=2048)
+    p.add_argument("--save_epoch_freq", type=int, default=5)
+    p.add_argument("--use_collision_loss", action="store_true")
+    p.add_argument("--sdf_robustifier", type=float, default=None)
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--pretrain_weights", default=None)
+    for flag in (
+        "use_random_flip", "use_random_rescale", "use_random_position",
+        "use_random_rotation", "use_color_jittering", "use_motion_blur",
+    ):
+        p.add_argument(f"--{flag}", action="store_true")
+    p.add_argument("--blur_kernel_dir", default="")
+    p.set_defaults(func=cmd_train_baseline)
+
+    p = sub.add_parser("test-baseline")
+    _add_common(p)
+    p.add_argument("--test_epoch", default="latest")
+    p.set_defaults(func=cmd_test_baseline)
+
+    p = sub.add_parser("optimize")
+    _add_common(p)
+    p.add_argument("--optimizer", choices=["adam", "sgd"], default="adam")
+    p.add_argument("--save_mid_freq", type=int, default=10)
+    p.set_defaults(func=cmd_optimize)
+
+    p = sub.add_parser("visualize")
+    p.add_argument("--results", required=True)
+    p.add_argument("--out_dir", default=None)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(func=cmd_visualize)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Synthetic two-hand data generation.
+
+Produces geometrically-consistent samples for tests and benchmarks without
+the licensed InterHand2.6M / MANO assets: ground-truth parameters are sampled,
+decoded through the (synthetic or real) MANO layer into joints, and noisy
+copies play the role of the baseline network's initial predictions — exactly
+the annotation + prediction schema the OPT/MLP pipelines consume
+(ref: src/data/opt_dataset.py:120-175, src/data/mlp_dataset.py:140-210).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ihmr_tpu.core.projection import orthographic_project
+from ihmr_tpu.mano.layer import two_hand_decode_mirrored
+from ihmr_tpu.mano.model import ManoModel
+from ihmr_tpu.refine.mlp_engine import MLPBatch
+from ihmr_tpu.refine.opt_engine import OptBatch, ParamDict, params_from_init
+
+
+def _decode(model: ManoModel, pose, shape, trans, cam):
+    rv, lv, j3 = two_hand_decode_mirrored(
+        model,
+        pose[:, 0:3],
+        pose[:, 48:51],
+        pose[:, 3:48],
+        pose[:, 51:96],
+        shape[:, :10],
+        shape[:, 10:],
+        trans,
+    )
+    return rv, lv, j3, orthographic_project(j3, cam)
+
+
+def generate(model: ManoModel, batch: int, seed: int, noise: float) -> Dict[str, jnp.ndarray]:
+    """Sample GT params + noisy init predictions, decode both.
+
+    IMPORTANT: the 'init joints' stand in for the reference's separate
+    keypoint-prediction model (the prediction pkl's ``joints_2d/joints_3d``
+    keys, which are NOT the decoded init MANO joints; ref
+    src/data/data_utils.py:59-62). They must differ from decode(init params),
+    otherwise the OPT self-consistency losses start at exactly zero and no
+    snapshot can ever be accepted. We model the keypoint net as more accurate
+    than the parameter regression: init_joints = gt_joints + small jitter.
+    """
+    rng = np.random.RandomState(seed)
+    gt_pose = jnp.asarray((rng.randn(batch, 96) * 0.2).astype(np.float32))
+    gt_shape = jnp.asarray((rng.randn(batch, 20) * 0.5).astype(np.float32))
+    cam = np.tile(np.array([[5.0, 0.0, 0.0]], np.float32), (batch, 1))
+    cam[:, 1:] += rng.randn(batch, 2).astype(np.float32) * 0.02
+    gt_cam = jnp.asarray(cam)
+    gt_trans = jnp.asarray((rng.randn(batch, 3) * 0.02).astype(np.float32))
+
+    _, _, gt_j3, gt_j2 = _decode(model, gt_pose, gt_shape, gt_trans, gt_cam)
+
+    init_pose = gt_pose + jnp.asarray(rng.randn(batch, 96).astype(np.float32)) * noise
+    init_shape = gt_shape + jnp.asarray(rng.randn(batch, 20).astype(np.float32)) * noise
+    init_trans = gt_trans + jnp.asarray(rng.randn(batch, 3).astype(np.float32)) * noise * 0.2
+    init_cam = gt_cam
+    # keypoint-network-like joint predictions: near-GT, independent noise
+    kp_noise = noise * 0.02
+    init_j3 = gt_j3 + jnp.asarray(rng.randn(*gt_j3.shape).astype(np.float32)) * kp_noise
+    init_j2 = gt_j2 + jnp.asarray(rng.randn(*gt_j2.shape).astype(np.float32)) * kp_noise
+
+    return dict(
+        gt_pose=gt_pose,
+        gt_shape=gt_shape,
+        gt_cam=gt_cam,
+        gt_trans=gt_trans,
+        gt_j3=gt_j3,
+        gt_j2=gt_j2,
+        init_pose=init_pose,
+        init_shape=init_shape,
+        init_cam=init_cam,
+        init_trans=init_trans,
+        init_j3=init_j3,
+        init_j2=init_j2,
+    )
+
+
+def make_opt_inputs(
+    model: ManoModel, batch: int = 8, seed: int = 0, noise: float = 0.15
+) -> Tuple[ParamDict, OptBatch]:
+    """Build (initial params, OptBatch) for the OPT workload."""
+    d = generate(model, batch, seed, noise)
+    ones = jnp.ones((batch, 42, 1), jnp.float32)
+    ones1 = jnp.ones((batch, 1), jnp.float32)
+
+    params = params_from_init(d["init_cam"], d["init_pose"], d["init_shape"], d["init_trans"])
+    init_trans_j = d["init_j3"][:, 21, :] - d["init_j3"][:, 0, :]
+
+    opt_batch = OptBatch(
+        hand_type_array=jnp.ones((batch, 2), jnp.float32),
+        hand_type_valid=ones1,
+        joints_2d=jnp.concatenate([d["gt_j2"], ones], axis=-1),
+        joints_3d=jnp.concatenate([d["gt_j3"], ones], axis=-1),
+        gt_pose_params=d["gt_pose"],
+        gt_shape_params=d["gt_shape"],
+        mano_params_weight=jnp.ones((batch, 2), jnp.float32),
+        hand_trans=jnp.concatenate([d["gt_trans"], ones1], axis=-1)[:, None, :],
+        init_joints_2d=jnp.concatenate([d["init_j2"], ones], axis=-1),
+        init_joints_3d=jnp.concatenate([d["init_j3"], ones], axis=-1),
+        init_hand_trans_j=jnp.concatenate([init_trans_j, ones1], axis=-1)[:, None, :],
+    )
+    return params, opt_batch
+
+
+def make_mlp_inputs(
+    model: ManoModel,
+    batch: int = 8,
+    seed: int = 0,
+    noise: float = 0.15,
+    index_offset: int = 0,
+) -> MLPBatch:
+    """Build an MLPBatch (cached baseline outputs play the img_feat role)."""
+    d = generate(model, batch, seed, noise)
+    rng = np.random.RandomState(seed + 101)
+    ones = jnp.ones((batch, 42, 1), jnp.float32)
+    ones1 = jnp.ones((batch, 1), jnp.float32)
+    return MLPBatch(
+        hand_type_array=jnp.ones((batch, 2), jnp.float32),
+        hand_type_valid=ones1,
+        joints_2d=jnp.concatenate([d["gt_j2"], ones], axis=-1),
+        joints_3d=jnp.concatenate([d["gt_j3"], ones], axis=-1),
+        gt_pose_params=d["gt_pose"],
+        gt_shape_params=d["gt_shape"],
+        mano_params_weight=jnp.ones((batch, 2), jnp.float32),
+        hand_trans=jnp.concatenate([d["gt_trans"], ones1], axis=-1)[:, None, :],
+        img_feat=jnp.asarray(np.abs(rng.randn(batch, 1024)).astype(np.float32)),
+        init_joints_2d=jnp.concatenate([d["init_j2"], ones], axis=-1),
+        init_joints_3d=jnp.concatenate([d["init_j3"], ones], axis=-1),
+        init_cam=d["init_cam"],
+        init_pose_params=d["init_pose"],
+        init_shape_params=d["init_shape"],
+        init_hand_trans=d["init_trans"],
+        index=jnp.arange(index_offset, index_offset + batch, dtype=jnp.int32),
+    )

@@ -1,0 +1,210 @@
+"""Evaluator: per-sample result accumulation + the 4 headline metrics.
+
+Port of ref src/utils/evaluator.py with the same accumulation contract:
+``update(data_idxs, pred_results)`` ingests a batch of numpy results, computes
+per-sample j3d / PA-no-rot errors immediately, un-flips mirrored samples
+(:100-134), dedups the divisibility padding by image path (:137-146), and
+exposes ``mpjpe_3d / inter_mpjpe_3d / collision_ave / collision_max``
+(:149-181). Vertices are stored fp16 like the reference.
+
+The reference's cross-rank gather is per-rank pickle files + a barrier
+(ref src/test_baseline.py:67-78); here ranks simply pickle their Evaluator and
+rank 0 merges with ``gather_pred`` — same mechanism, or use
+``ihmr_tpu.parallel.gather_to_host`` to move it onto ICI.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ihmr_tpu.eval import metrics as mu
+from ihmr_tpu.utils import io_utils
+
+
+class Evaluator:
+    def __init__(
+        self,
+        data_list: Sequence[dict],
+        image_root: str = "",
+        dataset_name: str = "synthetic",
+        input_size: int = 224,
+        right_faces: Optional[np.ndarray] = None,
+        left_faces: Optional[np.ndarray] = None,
+    ):
+        self.dataset_name = dataset_name
+        self.data_list = list(data_list)
+        self.image_root = image_root
+        self.input_size = input_size
+        self.right_faces = right_faces
+        self.left_faces = left_faces
+        self.pred_results: List[dict] = []
+
+    def clear(self):
+        self.pred_results = []
+
+    def gather_pred(self, pred_results: List[dict]):
+        self.pred_results += pred_results
+
+    # ------------------------------------------------------------------
+    def update(self, data_idxs: Sequence[int], pred_results: Dict[str, np.ndarray], save_verts: bool = True):
+        self.save_verts = save_verts
+        for i, data_idx in enumerate(np.asarray(data_idxs)):
+            data_idx = int(data_idx)
+            anno = self.data_list[data_idx] if data_idx < len(self.data_list) else {}
+            img_path_rel = anno.get("img_path", f"sample_{data_idx:08d}")
+            single = dict(
+                data_idx=data_idx,
+                pred_cam_params=np.asarray(pred_results["pred_cam_params"][i]),
+                pred_shape_params=np.asarray(pred_results["pred_shape_params"][i]),
+                pred_pose_params=np.asarray(pred_results["pred_pose_params"][i]),
+                pred_hand_trans=np.asarray(pred_results["pred_hand_trans"][i]),
+                pred_joints_3d=np.asarray(pred_results["pred_joints_3d"][i]),
+                collision_loss_origin_scale=np.asarray(
+                    pred_results["collision_loss_origin_scale"][i]
+                ),
+                gt_joints_3d=np.asarray(pred_results["gt_joints_3d"][i]),
+                img_path=io_utils.osp.join(self.image_root, img_path_rel)
+                if self.image_root
+                else img_path_rel,
+                img_path_relative=img_path_rel,
+            )
+            defaults = dict(
+                annot_type="machine", hand_type="interacting", hand_type_valid=1.0, scale=1.0
+            )
+            for key, val in defaults.items():
+                single[key] = anno.get(key, val)
+
+            if save_verts:
+                for mode in ("pred", "gt"):
+                    for hand in ("left", "right"):
+                        key = f"{mode}_{hand}_hand_verts"
+                        if key in pred_results and pred_results[key] is not None:
+                            single[key] = np.asarray(pred_results[key][i]).astype(np.float16)
+
+            pred_j3 = single["pred_joints_3d"]
+            gt_j3 = single["gt_joints_3d"][:, :3]
+            valid = single["gt_joints_3d"][:, 3:]
+            scale = single["scale"]
+            single["j3d_error"] = mu.single_joints_error(pred_j3, gt_j3, valid, scale)
+            single["pa_no_rot_inter_j3d_error"] = mu.single_pa_inter_joints_error(
+                pred_j3, gt_j3, valid, scale, use_rot=False
+            )
+
+            if "do_flip" in pred_results and pred_results["do_flip"][i]:
+                self._flip_back(single)
+            self.pred_results.append(single)
+
+    def _flip_back(self, single: dict):
+        """Un-mirror a sample that was flipped left->right at load time
+        (ref evaluator.py:100-134)."""
+        single["pred_cam_params"][1] *= -1
+        single["pred_hand_trans"][0] *= -1
+        pose = single["pred_pose_params"].copy()
+        single["pred_pose_params"][:48] = pose[48:]
+        single["pred_pose_params"][48:] = pose[:48]
+        single["pred_pose_params"][1::3] *= -1
+        single["pred_pose_params"][2::3] *= -1
+        for key in ("pred_joints_3d", "gt_joints_3d"):
+            j = single[key].copy()
+            single[key][:21] = j[21:]
+            single[key][21:] = j[:21]
+            single[key][:, 0] *= -1
+        coll = single["collision_loss_origin_scale"].copy()
+        half = coll.shape[0] // 2
+        single["collision_loss_origin_scale"][:half] = coll[half:]
+        single["collision_loss_origin_scale"][half:] = coll[:half]
+        if self.save_verts:
+            saved = {}
+            for mode in ("pred", "gt"):
+                for hand in ("left", "right"):
+                    key = f"{mode}_{hand}_hand_verts"
+                    if key in single:
+                        saved[key] = single[key].copy()
+            for mode in ("pred", "gt"):
+                for hand in ("left", "right"):
+                    other = "left" if hand == "right" else "right"
+                    key = f"{mode}_{hand}_hand_verts"
+                    key_flip = f"{mode}_{other}_hand_verts"
+                    if key_flip in saved:
+                        single[key] = saved[key_flip]
+                        single[key][:, 0] *= -1
+
+    def remove_redunc(self):
+        """Drop the first-sample padding duplicates (ref :137-146)."""
+        seen, out = set(), []
+        for data in self.pred_results:
+            if data["img_path_relative"] not in seen:
+                out.append(data)
+                seen.add(data["img_path_relative"])
+        self.pred_results = out
+
+    # ------------------------------------------------------------------
+    @property
+    def mpjpe_3d(self) -> float:
+        errors: List[float] = []
+        for pred in self.pred_results:
+            errors += pred["j3d_error"]
+        return float(np.average(errors)) if errors else float("nan")
+
+    @property
+    def inter_mpjpe_3d(self) -> float:
+        errors: List[float] = []
+        for pred in self.pred_results:
+            errors += pred["pa_no_rot_inter_j3d_error"]
+        return float(np.average(errors)) if errors else float("nan")
+
+    @property
+    def collision_ave(self) -> float:
+        vals = [
+            float(np.mean(p["collision_loss_origin_scale"])) * 1000
+            for p in self.pred_results
+            if p["hand_type"] == "interacting"
+        ]
+        return float(np.average(vals)) if vals else float("nan")
+
+    @property
+    def collision_max(self) -> float:
+        vals = [
+            float(np.max(p["collision_loss_origin_scale"])) * 1000
+            for p in self.pred_results
+            if p["hand_type"] == "interacting"
+        ]
+        return float(np.average(vals)) if vals else float("nan")
+
+    @property
+    def collision_auc(self) -> float:
+        vals = [
+            np.asarray(p["collision_loss_origin_scale"]) * 1000
+            for p in self.pred_results
+            if p["hand_type"] == "interacting"
+        ]
+        if not vals:
+            return float("nan")
+        return mu.collision_auc(np.concatenate(vals))
+
+    def metric_dict(self) -> "OrderedDict[str, float]":
+        return OrderedDict(
+            mpjpe_3d=self.mpjpe_3d,
+            inter_mpjpe_3d=self.inter_mpjpe_3d,
+            collision_ave=self.collision_ave,
+            collision_max=self.collision_max,
+        )
+
+    # ------------------------------------------------------------------
+    def export_objs(self, res_obj_dir: str, limit: Optional[int] = None):
+        """Dump predicted two-hand meshes as .obj (ref :231-275 without the
+        OpenDR render)."""
+        assert self.right_faces is not None and self.left_faces is not None
+        for i, result in enumerate(self.pred_results[:limit]):
+            if "pred_right_hand_verts" not in result:
+                continue
+            rv = np.asarray(result["pred_right_hand_verts"], np.float32)
+            lv = np.asarray(result["pred_left_hand_verts"], np.float32)
+            verts = np.concatenate([rv, lv], axis=0)
+            faces = np.concatenate([self.right_faces, self.left_faces + rv.shape[0]], axis=0)
+            name = result["img_path_relative"].replace("/", "_")
+            name = name.rsplit(".", 1)[0] + ".obj"
+            io_utils.save_mesh_to_obj(io_utils.osp.join(res_obj_dir, name), verts, faces)

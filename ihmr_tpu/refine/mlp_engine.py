@@ -1,0 +1,336 @@
+"""IHMR-MLP: the learned per-parameter-group refinement cascade.
+
+Reference semantics (ref src/models/mlp_model.py): a frozen baseline encoder's
+cached outputs (1024-d image feature + 122-d parameter vector) seed the
+cascade; each stage's small MLP emits a residual for one parameter group;
+after every stage, each SAMPLE independently keeps the update only if all
+filter losses got no worse than prev*(1+pct/100) (strict '<') AND the select
+loss did not increase ('<='), else the previous parameters are restored
+(ref mlp_model.py:592-637).
+
+TPU-first design: parameters and caches are explicit pytrees; the whole test
+cascade is one jitted function over the batch (stages static, stage-MLP
+params passed as a tuple); training steps are jitted per-stage. The
+dataset-sized prediction caches of the reference (GPU tensors mutated
+in-place + pickle-file cross-rank sync; ref mlp_model.py:297-356,676-681)
+become a host-side ``MLPCaches`` store updated with batch slices — ranks own
+disjoint sample indices, so multi-host sync is a simple index-sharded
+allgather (see ihmr_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ihmr_tpu.core.projection import orthographic_project
+from ihmr_tpu.losses import losses as L
+from ihmr_tpu.mano.layer import two_hand_decode_mirrored
+from ihmr_tpu.mano.model import ManoModel
+from ihmr_tpu.ops.collision import collision_loss
+from ihmr_tpu.refine.opt_engine import OptConfig, ParamDict, params_to_handparams
+from ihmr_tpu.refine.schedule import PARAM_GROUP_DIMS, Stage
+
+
+@flax.struct.dataclass
+class MLPBatch:
+    """Inputs of the MLP workload (ref mlp_model.py:160-216)."""
+
+    hand_type_array: jnp.ndarray  # (B, 2)
+    hand_type_valid: jnp.ndarray  # (B, 1)
+    joints_2d: jnp.ndarray  # (B, 42, 3)
+    joints_3d: jnp.ndarray  # (B, 42, 4)
+    gt_pose_params: jnp.ndarray  # (B, 96)
+    gt_shape_params: jnp.ndarray  # (B, 20)
+    mano_params_weight: jnp.ndarray  # (B, 2)
+    hand_trans: jnp.ndarray  # (B, 1, 4)
+    img_feat: jnp.ndarray  # (B, 1024)
+    init_joints_2d: jnp.ndarray  # (B, 42, 3)
+    init_joints_3d: jnp.ndarray  # (B, 42, 4)
+    init_cam: jnp.ndarray  # (B, 3)
+    init_pose_params: jnp.ndarray  # (B, 96)
+    init_shape_params: jnp.ndarray  # (B, 20)
+    init_hand_trans: jnp.ndarray  # (B, 3)
+    index: jnp.ndarray  # (B,) int32 global sample ids
+
+
+def seed_from_backbone(batch: MLPBatch) -> ParamDict:
+    """Initialize the cascade state from the cached baseline predictions
+    (ref mlp_model.py:442-456)."""
+    p = batch.init_pose_params
+    return {
+        "cam": batch.init_cam,
+        "right_orient": p[:, 0:3],
+        "right_pose": p[:, 3:48],
+        "left_orient": p[:, 48:51],
+        "left_pose": p[:, 51:96],
+        "right_shape": batch.init_shape_params[:, :10],
+        "left_shape": batch.init_shape_params[:, 10:],
+        "trans": batch.init_hand_trans.reshape(batch.init_hand_trans.shape[0], -1)[:, :3],
+    }
+
+
+def flat_params(p: ParamDict) -> jnp.ndarray:
+    """(B, 122) in the reference layout [cam|pose96|shape20|trans]."""
+    return params_to_handparams(p).to_flat()
+
+
+def apply_stage_mlp(
+    subnet_apply,
+    subnet_params,
+    stage: Stage,
+    img_feat: jnp.ndarray,
+    p: ParamDict,
+) -> ParamDict:
+    """Add the stage MLP's residual to the stage's parameter groups
+    (ref mlp_model.py:459-477)."""
+    inputs = jnp.concatenate([img_feat, flat_params(p)], axis=-1)
+    residual = subnet_apply(subnet_params, inputs)  # (B, update_dim)
+    out = dict(p)
+    offset = 0
+    for name in stage.update_params:
+        dim = PARAM_GROUP_DIMS[name]
+        out[name] = p[name] + residual[:, offset : offset + dim]
+        offset += dim
+    return out
+
+
+def compute_losses(
+    model: ManoModel,
+    p: ParamDict,
+    batch: MLPBatch,
+    weights: Dict[str, float],
+    config: OptConfig = OptConfig(),
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The MLP loss set (ref mlp_model.py:514-583).
+
+    Unlike OPT, the training total is GT-driven (2D/3D/mano pose/shape/trans)
+    and the collision batch vector IS weighted (ref :582)."""
+    rv, lv, joints3d = two_hand_decode_mirrored(
+        model,
+        p["right_orient"],
+        p["left_orient"],
+        p["right_pose"],
+        p["left_pose"],
+        p["right_shape"],
+        p["left_shape"],
+        p["trans"],
+    )
+    joints2d = orthographic_project(joints3d, p["cam"])
+    faces_l = model.faces[:, ::-1]
+    aux: Dict[str, jnp.ndarray] = {}
+
+    j2d, _ = L.joints_2d_loss(batch.joints_2d[:, :, :2], joints2d, batch.joints_2d[:, :, 2:3])
+    aux["joints_2d_loss"] = j2d * weights["joints_2d_loss"]
+    total = aux["joints_2d_loss"]
+
+    _, j2d_p_batch = L.joints_2d_loss(
+        batch.init_joints_2d[:, :, :2], joints2d, batch.init_joints_2d[:, :, 2:3]
+    )
+    aux["joints_2d_loss_p_batch"] = j2d_p_batch * weights["joints_2d_loss"]
+
+    j3d, _ = L.joints_3d_loss(batch.joints_3d[:, :, :3], joints3d, batch.joints_3d[:, :, 3:4])
+    aux["joints_3d_loss"] = j3d * weights["joints_3d_loss"]
+    total = total + aux["joints_3d_loss"]
+
+    _, j3d_p_batch = L.joints_3d_loss(
+        batch.init_joints_3d[:, :, :3], joints3d, batch.init_joints_3d[:, :, 3:4]
+    )
+    aux["joints_3d_loss_p_batch"] = j3d_p_batch * weights["joints_3d_loss"]
+
+    pose_r = L.mano_pose_loss(
+        batch.gt_pose_params[:, 3:48], p["right_pose"], batch.mano_params_weight[:, 0:1]
+    )
+    pose_l = L.mano_pose_loss(
+        batch.gt_pose_params[:, 51:96], p["left_pose"], batch.mano_params_weight[:, 1:2]
+    )
+    aux["mano_pose_loss"] = (pose_r + pose_l) * weights["mano_pose_loss"]
+    total = total + aux["mano_pose_loss"]
+
+    shape_r = L.mano_shape_loss(
+        batch.gt_shape_params[:, :10], p["right_shape"], batch.mano_params_weight[:, 0:1]
+    )
+    shape_l = L.mano_shape_loss(
+        batch.gt_shape_params[:, 10:], p["left_shape"], batch.mano_params_weight[:, 1:2]
+    )
+    aux["mano_shape_loss"] = (shape_r + shape_l) * weights["mano_shape_loss"]
+    total = total + aux["mano_shape_loss"]
+
+    trans = L.hand_trans_loss(batch.hand_trans[:, 0, :3], p["trans"], batch.hand_trans[:, :, 3:4])
+    aux["hand_trans_loss"] = trans * weights["hand_trans_loss"]
+    total = total + aux["hand_trans_loss"]
+
+    shape_params = jnp.concatenate([p["right_shape"], p["left_shape"]], axis=1)
+    reg, _ = L.shape_reg_loss(shape_params)
+    aux["shape_reg_loss"] = reg * weights["shape_reg_loss"]
+    total = total + aux["shape_reg_loss"]
+
+    res_r = L.shape_residual_loss(p["right_shape"], batch.init_shape_params[:, :10])
+    res_l = L.shape_residual_loss(p["left_shape"], batch.init_shape_params[:, 10:])
+    aux["shape_residual_loss"] = (res_r + res_l) * weights["shape_residual_loss"]
+    total = total + aux["shape_residual_loss"]
+
+    coll, coll_batch, coll_origin = collision_loss(
+        rv,
+        lv,
+        model.faces,
+        faces_l,
+        batch.hand_type_array,
+        robustifier=config.robustifier,
+        num_candidates=config.num_candidates,
+    )
+    aux["collision_loss"] = coll * weights["collision_loss"]
+    aux["collision_loss_batch"] = coll_batch * weights["collision_loss"]
+    aux["collision_loss_origin_scale"] = coll_origin
+    total = total + aux["collision_loss"]
+
+    aux["pred_right_hand_verts"] = rv
+    aux["pred_left_hand_verts"] = lv
+    aux["pred_joints_3d"] = joints3d
+    aux["pred_joints_2d"] = joints2d
+    return total, aux
+
+
+_TRACKED = ("joints_2d_loss_p_batch", "joints_3d_loss_p_batch", "collision_loss_batch")
+_FILTER_KEY = {
+    "joints_2d_loss_p": "joints_2d_loss_p_batch",
+    "joints_3d_loss_p": "joints_3d_loss_p_batch",
+    "collision_loss": "collision_loss_batch",
+}
+
+
+def select_better_params(
+    stage: Stage,
+    cur_params: ParamDict,
+    cur_losses: Dict[str, jnp.ndarray],
+    prev_params: ParamDict,
+    prev_losses: Dict[str, jnp.ndarray],
+) -> Tuple[ParamDict, Dict[str, jnp.ndarray]]:
+    """Per-sample accept/reject of a stage update (ref mlp_model.py:592-637).
+
+    Filters use strict '<' against prev*(1+pct/100) (NO +0.1 smoothing here,
+    unlike OPT); the select loss must not increase ('<='). Rejected samples
+    revert the stage's parameter groups AND all tracked losses to prev.
+    """
+    keep = None
+    for loss_name, pct in stage.filter_loss:
+        key = _FILTER_KEY[loss_name]
+        ok = cur_losses[key] < prev_losses[key] * (1.0 + float(pct) / 100.0)
+        keep = ok if keep is None else (keep & ok)
+    sel = _FILTER_KEY[stage.select_loss]
+    keep = keep & (cur_losses[sel] <= prev_losses[sel])
+
+    out_params = dict(cur_params)
+    for name in stage.update_params:
+        out_params[name] = jnp.where(keep[:, None], cur_params[name], prev_params[name])
+    out_losses = {
+        key: jnp.where(keep, cur_losses[key], prev_losses[key]) for key in _TRACKED
+    }
+    return out_params, out_losses
+
+
+def make_cascade_apply(
+    model: ManoModel,
+    strategy: Tuple[Stage, ...],
+    subnet_apply,
+    default_weights: Dict[str, float],
+    config: OptConfig = OptConfig(),
+):
+    """Build the jitted full-cascade inference function (ref
+    mlp_model.py:683-699 ``test``).
+
+    Returned fn: (stage_params: tuple of pytrees, batch) -> (params, results).
+    """
+
+    @partial(jax.jit, static_argnums=())
+    def cascade(stage_params: Tuple, batch: MLPBatch):
+        p = seed_from_backbone(batch)
+        _, aux = compute_losses(model, p, batch, default_weights, config)
+        prev_losses = {k: aux[k] for k in _TRACKED}
+        prev_params = p
+
+        for stage_id, stage in enumerate(strategy):
+            p_new = apply_stage_mlp(
+                subnet_apply, stage_params[stage_id], stage, batch.img_feat, prev_params
+            )
+            _, aux = compute_losses(model, p_new, batch, default_weights, config)
+            cur_losses = {k: aux[k] for k in _TRACKED}
+            p_sel, sel_losses = select_better_params(
+                stage, p_new, cur_losses, prev_params, prev_losses
+            )
+            prev_params, prev_losses = p_sel, sel_losses
+
+        total, aux = compute_losses(model, prev_params, batch, default_weights, config)
+        hp = params_to_handparams(prev_params)
+        results = {
+            "pred_cam_params": prev_params["cam"],
+            "pred_hand_trans": prev_params["trans"],
+            "pred_shape_params": hp.shape_params,
+            "pred_pose_params": hp.pose_params,
+            "pred_right_hand_verts": aux["pred_right_hand_verts"],
+            "pred_left_hand_verts": aux["pred_left_hand_verts"],
+            "pred_joints_3d": aux["pred_joints_3d"],
+            "pred_joints_2d": aux["pred_joints_2d"],
+            "gt_joints_3d": batch.joints_3d,
+            "mano_params_weight": batch.mano_params_weight,
+            "collision_loss": aux["collision_loss_batch"],
+            "collision_loss_origin_scale": aux["collision_loss_origin_scale"],
+            "total_loss": total,
+        }
+        return prev_params, results
+
+    return cascade
+
+
+# ---------------------------------------------------------------------------
+# dataset-sized prediction caches (host-side; ref mlp_model.py:297-356)
+@dataclass
+class MLPCaches:
+    num_data: int
+    exists: np.ndarray = None  # (N,) bool
+    img_feat: np.ndarray = None  # (N, 1024)
+    prev_params: Dict[str, np.ndarray] = None  # name -> (N, dim)
+    prev_losses: Dict[str, np.ndarray] = None  # tracked key -> (N,)
+
+    def __post_init__(self):
+        n = self.num_data
+        if self.exists is None:
+            self.exists = np.zeros(n, bool)
+            self.img_feat = np.zeros((n, 1024), np.float32)
+            self.prev_params = {
+                name: np.zeros((n, dim), np.float32) for name, dim in PARAM_GROUP_DIMS.items()
+            }
+            self.prev_losses = {k: np.zeros(n, np.float32) for k in _TRACKED}
+
+    def save(self, idx, img_feat, params: ParamDict, losses: Dict[str, jnp.ndarray]):
+        idx = np.asarray(idx)
+        self.exists[idx] = True
+        self.img_feat[idx] = np.asarray(img_feat)
+        for name in self.prev_params:
+            self.prev_params[name][idx] = np.asarray(params[name])
+        for key in _TRACKED:
+            self.prev_losses[key][idx] = np.asarray(losses[key])
+
+    def retrieve(self, idx) -> Tuple[np.ndarray, ParamDict, Dict[str, np.ndarray]]:
+        idx = np.asarray(idx)
+        assert self.exists[idx].all(), "retrieving samples never cached"
+        params = {name: self.prev_params[name][idx] for name in self.prev_params}
+        losses = {k: self.prev_losses[k][idx] for k in _TRACKED}
+        return self.img_feat[idx], params, losses
+
+    def merge(self, other: "MLPCaches") -> None:
+        """Cross-rank sync: fold another rank's cached indices into ours
+        (replaces the reference's pickle-file gather; ref mlp_model.py:661-681)."""
+        idx = np.nonzero(other.exists)[0]
+        self.exists[idx] = True
+        self.img_feat[idx] = other.img_feat[idx]
+        for name in self.prev_params:
+            self.prev_params[name][idx] = other.prev_params[name][idx]
+        for key in _TRACKED:
+            self.prev_losses[key][idx] = other.prev_losses[key][idx]

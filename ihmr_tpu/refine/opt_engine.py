@@ -1,0 +1,315 @@
+"""IHMR-OPT: per-sample collision-aware test-time optimization as one
+jit-compiled program (the rebuild's north-star workload; SURVEY.md §3.3).
+
+Reference semantics (ref src/models/optimize_model.py:390-415 and
+src/utils/opt_utils.py:70-153): for each strategy stage, (epoch+1) optimizer
+steps on that stage's parameter groups; every ``save_mid_freq`` steps the
+current params + filter/select losses are snapshotted; after the stage, for
+each SAMPLE independently, the best snapshot is chosen — valid snapshots must
+keep every filter loss under origin*(1 + (pct+0.1)/100), and among valid ones
+the earliest minimum of the select loss wins (snapshot 0 always participates
+with its original losses).
+
+TPU-first redesign: the reference's Python loop over 301 torch steps plus a
+post-hoc snapshot gather/filter/argmin becomes a single ``lax.scan`` whose
+carry holds a RUNNING per-sample best (params, select-loss) — mathematically
+identical to the snapshot-buffer argmin with first-minimum tie-breaking (a
+strict '<' update preserves the earliest minimum), with O(1) memory instead of
+O(num_snapshots). Each stage is compiled once (stage config is static); all
+samples in the batch optimize in parallel as a leading batch dimension, so one
+chip refines hundreds of images concurrently and a data mesh shards the batch
+across chips with zero cross-chip communication (IHMR-OPT is embarrassingly
+parallel; ref §2.7).
+
+Adam note: the reference optimizes the batch-MEAN loss; Adam's m/sqrt(v)
+update is invariant to that uniform 1/B gradient scale (up to eps), so
+per-sample trajectories match the reference's regardless of batch size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ihmr_tpu.core.projection import orthographic_project
+from ihmr_tpu.losses import losses as L
+from ihmr_tpu.mano.layer import HandParams, two_hand_decode_mirrored
+from ihmr_tpu.mano.model import ManoModel
+from ihmr_tpu.ops.collision import collision_loss
+from ihmr_tpu.refine.schedule import OPT_DEFAULT_LOSS_WEIGHTS, Stage
+
+
+@flax.struct.dataclass
+class OptBatch:
+    """Per-batch inputs of the OPT workload (ref optimize_model.py:120-168)."""
+
+    hand_type_array: jnp.ndarray  # (B, 2)
+    hand_type_valid: jnp.ndarray  # (B, 1)
+    joints_2d: jnp.ndarray  # (B, 42, 3) gt, [-1,1] coords + validity
+    joints_3d: jnp.ndarray  # (B, 42, 4) gt + validity
+    gt_pose_params: jnp.ndarray  # (B, 96)
+    gt_shape_params: jnp.ndarray  # (B, 20)
+    mano_params_weight: jnp.ndarray  # (B, 2)
+    hand_trans: jnp.ndarray  # (B, 1, 4) gt trans + validity
+    init_joints_2d: jnp.ndarray  # (B, 42, 3) predicted joints (self-consistency targets)
+    init_joints_3d: jnp.ndarray  # (B, 42, 4)
+    init_hand_trans_j: jnp.ndarray  # (B, 1, 4) trans from predicted joints
+
+
+@flax.struct.dataclass
+class OptConfig:
+    optimizer: str = flax.struct.field(pytree_node=False, default="adam")
+    save_mid_freq: int = flax.struct.field(pytree_node=False, default=10)
+    num_candidates: int = flax.struct.field(pytree_node=False, default=8)
+    robustifier: Optional[float] = flax.struct.field(pytree_node=False, default=None)
+
+
+ParamDict = Dict[str, jnp.ndarray]
+
+
+def params_from_init(
+    init_cam: jnp.ndarray,  # (B, 3)
+    init_pose_params: jnp.ndarray,  # (B, 96)
+    init_shape_params: jnp.ndarray,  # (B, 20)
+    init_hand_trans: jnp.ndarray,  # (B, 1, 4) or (B, 3)
+) -> ParamDict:
+    """Split the flat initial prediction into leaf groups
+    (ref optimize_model.py:235-251)."""
+    trans = init_hand_trans.reshape(init_hand_trans.shape[0], -1)[:, :3]
+    return {
+        "cam": init_cam,
+        "right_orient": init_pose_params[:, 0:3],
+        "right_pose": init_pose_params[:, 3:48],
+        "left_orient": init_pose_params[:, 48:51],
+        "left_pose": init_pose_params[:, 51:96],
+        "right_shape": init_shape_params[:, :10],
+        "left_shape": init_shape_params[:, 10:],
+        "trans": trans,
+    }
+
+
+def params_to_handparams(p: ParamDict) -> HandParams:
+    return HandParams(
+        cam=p["cam"],
+        right_orient=p["right_orient"],
+        left_orient=p["left_orient"],
+        right_pose=p["right_pose"],
+        left_pose=p["left_pose"],
+        right_shape=p["right_shape"],
+        left_shape=p["left_shape"],
+        trans=p["trans"],
+    )
+
+
+def forward(model: ManoModel, p: ParamDict, hands_mean: Optional[jnp.ndarray] = None):
+    """params -> (right_verts, left_verts, joints3d (B,42,3), joints2d (B,42,2))."""
+    rv, lv, joints = two_hand_decode_mirrored(
+        model,
+        p["right_orient"],
+        p["left_orient"],
+        p["right_pose"],
+        p["left_pose"],
+        p["right_shape"],
+        p["left_shape"],
+        p["trans"],
+        hands_mean,
+    )
+    j2d = orthographic_project(joints, p["cam"])
+    return rv, lv, joints, j2d
+
+
+def compute_losses(
+    model: ManoModel,
+    p: ParamDict,
+    batch: OptBatch,
+    weights: Dict[str, float],
+    config: OptConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """All OPT losses (ref optimize_model.py:276-330).
+
+    Returns (total scalar loss, aux dict). aux carries the per-sample vectors
+    used by snapshot filtering/selection ('joints_2d_loss_p', and weighted
+    'joints_3d_loss_p' batches; 'collision_loss' batch is unweighted exactly
+    like the reference) plus scalar logging losses.
+    """
+    rv, lv, joints3d, joints2d = forward(model, p)
+    faces_l = model.faces[:, ::-1]  # mirrored-left winding
+
+    aux: Dict[str, jnp.ndarray] = {}
+
+    # gt-based logging losses
+    j2d_gt, _ = L.joints_2d_loss(batch.joints_2d[:, :, :2], joints2d, batch.joints_2d[:, :, 2:3])
+    aux["joints_2d_loss"] = j2d_gt
+    j3d_gt, _ = L.joints_3d_loss(batch.joints_3d[:, :, :3], joints3d, batch.joints_3d[:, :, 3:4])
+    aux["joints_3d_loss"] = j3d_gt * 1000.0
+    trans_gt = L.hand_trans_loss(batch.hand_trans[:, :, :3], p["trans"], batch.hand_trans[:, :, 3:4])
+    aux["hand_trans_loss"] = trans_gt * 10.0
+
+    # prediction-consistency losses (drive the optimization)
+    j2d_p, j2d_p_batch = L.joints_2d_loss(
+        batch.init_joints_2d[:, :, :2], joints2d, batch.init_joints_2d[:, :, 2:3]
+    )
+    j2d_p = j2d_p * weights["joints_2d_loss"]
+    aux["joints_2d_loss_p_batch"] = j2d_p_batch * weights["joints_2d_loss"]
+    total = j2d_p
+
+    j3d_p, j3d_p_batch = L.joints_3d_loss(
+        batch.init_joints_3d[:, :, :3], joints3d, batch.init_joints_3d[:, :, 3:4]
+    )
+    j3d_p = j3d_p * weights["joints_3d_loss"]
+    aux["joints_3d_loss_p_batch"] = j3d_p_batch * weights["joints_3d_loss"]
+    total = total + j3d_p
+
+    trans_p = L.hand_trans_loss(
+        batch.init_hand_trans_j[:, :, :3], p["trans"], batch.init_hand_trans_j[:, :, 3:4]
+    )
+    total = total + trans_p * weights["trans_loss_weight"]
+
+    coll, coll_batch, coll_origin = collision_loss(
+        rv,
+        lv,
+        model.faces,
+        faces_l,
+        batch.hand_type_array,
+        robustifier=config.robustifier,
+        num_candidates=config.num_candidates,
+    )
+    aux["collision_loss"] = coll * weights["collision_loss_weight"]
+    aux["collision_loss_batch"] = coll_batch  # unweighted, like the reference
+    aux["collision_loss_origin_scale"] = coll_origin
+    total = total + coll * weights["collision_loss_weight"]
+
+    shape_params = jnp.concatenate([p["right_shape"], p["left_shape"]], axis=1)
+    shape_reg, _ = L.shape_reg_loss(shape_params)
+    total = total + shape_reg * weights["shape_reg_loss_weight"]
+    aux["shape_reg_loss"] = shape_reg * weights["shape_reg_loss_weight"]
+
+    finger_reg, _ = L.finger_reg_loss(joints3d)
+    total = total + finger_reg * weights["finger_reg_loss_weight"]
+    aux["finger_reg_loss"] = finger_reg * weights["finger_reg_loss_weight"]
+
+    return total, aux
+
+
+_FILTER_KEYS = {
+    "joints_3d_loss_p": "joints_3d_loss_p_batch",
+    "joints_2d_loss_p": "joints_2d_loss_p_batch",
+    "collision_loss": "collision_loss_batch",
+}
+
+
+def _make_optimizer(stage: Stage, optimizer: str):
+    if optimizer == "adam":
+        return optax.adam(stage.lr, b1=0.9, b2=0.999, eps=1e-8)
+    assert optimizer == "sgd", optimizer
+    return optax.sgd(stage.lr, momentum=0.9)
+
+
+def run_stage(
+    model: ManoModel,
+    params: ParamDict,
+    batch: OptBatch,
+    stage: Stage,
+    config: OptConfig,
+) -> ParamDict:
+    """One refinement stage: scan of optimizer steps + running-best selection."""
+    weights = stage.weights
+    subset = {k: params[k] for k in stage.update_params}
+    frozen = {k: v for k, v in params.items() if k not in stage.update_params}
+
+    def loss_fn(sub: ParamDict):
+        return compute_losses(model, {**frozen, **sub}, batch, weights, config)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    tx = _make_optimizer(stage, config.optimizer)
+
+    filter_names = [name for name, _pct in stage.filter_loss]
+    bars_pct = {
+        name: (float(pct) + 0.1) / 100.0 for name, pct in stage.filter_loss
+    }  # ref opt_utils.py:111 (+0.1 smoothing)
+
+    # ---- step 0: establish origin losses, initial best, first update
+    (_, aux0), grads0 = grad_fn(subset)
+    origin = {name: aux0[_FILTER_KEYS[name]] for name in filter_names}
+    bars = {name: origin[name] * (1.0 + bars_pct[name]) for name in filter_names}
+    best_select = aux0[_FILTER_KEYS[stage.select_loss]]
+    best_subset = subset
+
+    opt_state = tx.init(subset)
+    updates, opt_state = tx.update(grads0, opt_state, subset)
+    subset = optax.apply_updates(subset, updates)
+
+    bars_stack = jnp.stack([bars[n] for n in filter_names], axis=0)  # (NF, B)
+
+    def step(carry, j):
+        subset, opt_state, best_subset, best_select = carry
+        (_, aux), grads = grad_fn(subset)
+
+        is_snapshot = (j % config.save_mid_freq) == 0
+        cur = jnp.stack([aux[_FILTER_KEYS[n]] for n in filter_names], axis=0)  # (NF, B)
+        valid = jnp.all(cur <= bars_stack, axis=0)  # (B,)
+        cur_select = aux[_FILTER_KEYS[stage.select_loss]]
+        improve = is_snapshot & valid & (cur_select < best_select)  # (B,)
+
+        best_select = jnp.where(improve, cur_select, best_select)
+        best_subset = {
+            k: jnp.where(improve[:, None], subset[k], best_subset[k]) for k in subset
+        }
+
+        updates, opt_state = tx.update(grads, opt_state, subset)
+        subset = optax.apply_updates(subset, updates)
+        return (subset, opt_state, best_subset, best_select), None
+
+    (subset, _, best_subset, _), _ = jax.lax.scan(
+        step,
+        (subset, opt_state, best_subset, best_select),
+        jnp.arange(1, stage.epoch + 1),
+    )
+    return {**frozen, **best_subset}
+
+
+@partial(jax.jit, static_argnames=("strategy", "config"))
+def optimize_batch(
+    model: ManoModel,
+    params_init: ParamDict,
+    batch: OptBatch,
+    strategy: Tuple[Stage, ...],
+    config: OptConfig = OptConfig(),
+) -> Tuple[ParamDict, Dict[str, jnp.ndarray]]:
+    """The full OPT pipeline: all stages, then a final forward with default
+    loss weights (ref optimize.py:64-66 + optimize_model.py:412-414).
+
+    Returns (refined params, results dict with verts/joints/losses matching
+    ``get_pred_result``; ref optimize_model.py:418-435).
+    """
+    params = params_init
+    for stage in strategy:
+        params = run_stage(model, params, batch, stage, config)
+
+    total, aux = compute_losses(model, params, batch, dict(OPT_DEFAULT_LOSS_WEIGHTS), config)
+    rv, lv, joints3d, joints2d = forward(model, params)
+    hp = params_to_handparams(params)
+    results = {
+        "pred_cam_params": params["cam"],
+        "pred_hand_trans": params["trans"],
+        "pred_shape_params": hp.shape_params,
+        "pred_pose_params": hp.pose_params,
+        "pred_right_hand_verts": rv,
+        "pred_left_hand_verts": lv,
+        "pred_joints_3d": joints3d,
+        "pred_joints_2d": joints2d,
+        "gt_joints_3d": batch.joints_3d,
+        "mano_params_weight": batch.mano_params_weight,
+        "collision_loss": aux["collision_loss_batch"],
+        "collision_loss_origin_scale": aux["collision_loss_origin_scale"],
+        "total_loss": total,
+        "joints_2d_loss": aux["joints_2d_loss"],
+        "joints_3d_loss": aux["joints_3d_loss"],
+        "hand_trans_loss": aux["hand_trans_loss"],
+    }
+    return params, results

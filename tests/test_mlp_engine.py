@@ -1,0 +1,196 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ihmr_tpu.data.synthetic import make_mlp_inputs
+from ihmr_tpu.mano import synthetic_mano_model
+from ihmr_tpu.models import SubNetwork
+from ihmr_tpu.refine import (
+    MLP_DEFAULT_LOSS_WEIGHTS,
+    MLPCaches,
+    OptConfig,
+    apply_stage_mlp,
+    make_cascade_apply,
+    mlp_default,
+    seed_from_backbone,
+    select_better_params,
+)
+from ihmr_tpu.refine import mlp_engine
+
+
+@pytest.fixture(scope="module")
+def model():
+    return synthetic_mano_model()
+
+
+@pytest.fixture(scope="module")
+def batch(model):
+    return make_mlp_inputs(model, batch=4, seed=0)
+
+
+def _init_stage_params(strategy, key=0):
+    """One SubNetwork params pytree per stage."""
+    params = []
+    for stage in strategy:
+        net = SubNetwork(update_dim=stage.update_dim)
+        x = jnp.zeros((1, 1024 + 122))
+        params.append(net.init(jax.random.PRNGKey(key), x))
+    return tuple(params)
+
+
+def _subnet_apply_factory(strategy):
+    nets = [SubNetwork(update_dim=s.update_dim) for s in strategy]
+
+    def subnet_apply(variables, inputs):
+        # dispatch by output dim stored in variables
+        dim = variables["params"]["regressor"]["bias"].shape[0]
+        net = next(n for n in nets if n.update_dim == dim)
+        return net.apply(variables, inputs)
+
+    return subnet_apply
+
+
+class TestSeedAndStage:
+    def test_seed_matches_init(self, batch):
+        p = seed_from_backbone(batch)
+        np.testing.assert_allclose(np.asarray(p["cam"]), np.asarray(batch.init_cam))
+        np.testing.assert_allclose(
+            np.asarray(p["right_pose"]), np.asarray(batch.init_pose_params[:, 3:48])
+        )
+        np.testing.assert_allclose(
+            np.asarray(p["left_shape"]), np.asarray(batch.init_shape_params[:, 10:])
+        )
+
+    def test_stage_applies_residual_only_to_groups(self, batch):
+        strategy = mlp_default
+        stage = strategy[3]  # poses stage
+        net = SubNetwork(update_dim=stage.update_dim)
+        x = jnp.zeros((1, 1146))
+        variables = net.init(jax.random.PRNGKey(1), x)
+        p = seed_from_backbone(batch)
+        out = apply_stage_mlp(lambda v, i: net.apply(v, i), variables, stage, batch.img_feat, p)
+        for k in p:
+            delta = np.abs(np.asarray(out[k]) - np.asarray(p[k])).max()
+            if k in stage.update_params:
+                assert delta > 0, f"{k} should receive a (tiny) residual"
+            else:
+                assert delta == 0, f"{k} must be untouched"
+
+
+class TestSelect:
+    def _losses(self, vals):
+        return {
+            "joints_2d_loss_p_batch": jnp.asarray(vals),
+            "joints_3d_loss_p_batch": jnp.asarray(vals),
+            "collision_loss_batch": jnp.asarray(vals),
+        }
+
+    def test_reject_restores_prev(self, batch):
+        stage = mlp_default[0]  # trans stage, filter j3d_p & collision, select collision
+        p_prev = seed_from_backbone(batch)
+        p_cur = dict(p_prev)
+        p_cur["trans"] = p_prev["trans"] + 1.0
+        cur = self._losses([2.0, 0.5, 2.0, 0.5])  # samples 0,2 worse
+        prev = self._losses([1.0, 1.0, 1.0, 1.0])
+        out, out_losses = select_better_params(stage, p_cur, cur, p_prev, prev)
+        t = np.asarray(out["trans"])
+        np.testing.assert_allclose(t[0], np.asarray(p_prev["trans"])[0])  # rejected
+        np.testing.assert_allclose(t[1], np.asarray(p_cur["trans"])[1])  # accepted
+        np.testing.assert_allclose(t[2], np.asarray(p_prev["trans"])[2])
+        # losses follow the same mask
+        np.testing.assert_allclose(
+            np.asarray(out_losses["collision_loss_batch"]), [1.0, 0.5, 1.0, 0.5]
+        )
+
+    def test_equal_select_loss_accepted(self, batch):
+        """select uses '<=': equal select loss passes when the (separate)
+        filters strictly improve. Note mlp_default stages also filter on the
+        select loss itself with strict '<', so equality there rejects — use a
+        stage whose filter does not include the select loss."""
+        import dataclasses
+
+        stage = dataclasses.replace(
+            mlp_default[0], filter_loss=(("joints_3d_loss_p", "+0"),)
+        )
+        p_prev = seed_from_backbone(batch)
+        p_cur = dict(p_prev)
+        p_cur["trans"] = p_prev["trans"] + 1.0
+        cur = {
+            "joints_2d_loss_p_batch": jnp.full(4, 0.5),
+            "joints_3d_loss_p_batch": jnp.full(4, 0.5),
+            "collision_loss_batch": jnp.full(4, 1.0),  # equal select loss
+        }
+        prev = self._losses([1.0, 1.0, 1.0, 1.0])
+        out, _ = select_better_params(stage, p_cur, cur, p_prev, prev)
+        np.testing.assert_allclose(np.asarray(out["trans"]), np.asarray(p_cur["trans"]))
+
+    def test_equal_filter_loss_rejected(self, batch):
+        """mlp filters are strict '<': equality on a filtered loss rejects."""
+        stage = mlp_default[0]
+        p_prev = seed_from_backbone(batch)
+        p_cur = dict(p_prev)
+        p_cur["trans"] = p_prev["trans"] + 1.0
+        cur = self._losses([1.0, 1.0, 1.0, 1.0])
+        prev = self._losses([1.0, 1.0, 1.0, 1.0])
+        out, _ = select_better_params(stage, p_cur, cur, p_prev, prev)
+        np.testing.assert_allclose(np.asarray(out["trans"]), np.asarray(p_prev["trans"]))
+
+
+class TestCascade:
+    def test_full_cascade_runs_and_never_worsens(self, model, batch):
+        strategy = mlp_default
+        stage_params = _init_stage_params(strategy)
+        subnet_apply = _subnet_apply_factory(strategy)
+        cfg = OptConfig()
+        cascade = make_cascade_apply(model, strategy, subnet_apply, dict(MLP_DEFAULT_LOSS_WEIGHTS), cfg)
+        params, results = cascade(stage_params, batch)
+
+        # with gain-0.01 heads the cascade should stay close to the seed and
+        # the selection guarantees the select losses never worsen
+        p0 = seed_from_backbone(batch)
+        _, aux0 = mlp_engine.compute_losses(model, p0, batch, dict(MLP_DEFAULT_LOSS_WEIGHTS), cfg)
+        _, aux1 = mlp_engine.compute_losses(model, params, batch, dict(MLP_DEFAULT_LOSS_WEIGHTS), cfg)
+        assert np.all(
+            np.asarray(aux1["collision_loss_batch"])
+            <= np.asarray(aux0["collision_loss_batch"]) + 1e-5
+        )
+        assert results["pred_right_hand_verts"].shape == (4, 778, 3)
+        assert results["collision_loss_origin_scale"].shape == (4, 1556)
+
+
+class TestCaches:
+    def test_save_retrieve_roundtrip(self, batch):
+        caches = MLPCaches(num_data=32)
+        p = seed_from_backbone(batch)
+        losses = {
+            "joints_2d_loss_p_batch": jnp.arange(4.0),
+            "joints_3d_loss_p_batch": jnp.arange(4.0) + 10,
+            "collision_loss_batch": jnp.arange(4.0) + 20,
+        }
+        idx = np.asarray([3, 7, 11, 30])
+        caches.save(idx, batch.img_feat, p, losses)
+        feat, params, got = caches.retrieve(idx)
+        np.testing.assert_allclose(feat, np.asarray(batch.img_feat))
+        np.testing.assert_allclose(params["trans"], np.asarray(p["trans"]))
+        np.testing.assert_allclose(got["collision_loss_batch"], [20, 21, 22, 23])
+
+    def test_retrieve_uncached_asserts(self):
+        caches = MLPCaches(num_data=8)
+        with pytest.raises(AssertionError):
+            caches.retrieve(np.asarray([0]))
+
+    def test_merge(self, batch):
+        a = MLPCaches(num_data=32)
+        b = MLPCaches(num_data=32)
+        p = seed_from_backbone(batch)
+        losses = {
+            "joints_2d_loss_p_batch": jnp.ones(4),
+            "joints_3d_loss_p_batch": jnp.ones(4),
+            "collision_loss_batch": jnp.ones(4),
+        }
+        b.save(np.asarray([1, 2, 3, 4]), batch.img_feat, p, losses)
+        a.merge(b)
+        assert a.exists[[1, 2, 3, 4]].all()
+        feat, _, _ = a.retrieve(np.asarray([1]))
+        np.testing.assert_allclose(feat[0], np.asarray(batch.img_feat)[0])

@@ -1,0 +1,207 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ihmr_tpu.data.synthetic import make_opt_inputs
+from ihmr_tpu.mano import synthetic_mano_model
+from ihmr_tpu.refine import (
+    OptConfig,
+    Stage,
+    compute_losses,
+    opt_default,
+    optimize_batch,
+    params_from_init,
+    run_stage,
+    strategies,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return synthetic_mano_model()
+
+
+@pytest.fixture(scope="module")
+def inputs(model):
+    return make_opt_inputs(model, batch=4, seed=0)
+
+
+def _short_strategy(epochs=12):
+    """opt_default with tiny step counts for test speed."""
+    return tuple(dataclasses.replace(s, epoch=epochs) for s in opt_default)
+
+
+class TestSchedule:
+    def test_registry(self):
+        assert set(strategies) == {"opt_default", "mlp_default"}
+        assert len(strategies["opt_default"]) == 4
+        assert len(strategies["mlp_default"]) == 6
+
+    def test_stage_static_hashable(self):
+        s = opt_default[0]
+        assert hash(s) == hash(opt_default[0])
+        assert s.update_dim == 3
+        assert opt_default[2].update_dim == 90
+
+    def test_invalid_filter_loss_rejected(self):
+        with pytest.raises(AssertionError):
+            Stage(
+                update_params=("trans",),
+                loss_weights=(("joints_2d_loss", 1.0),),
+                lr=1e-3,
+                epoch=1,
+                filter_loss=(("joints_3d_loss", "+0"),),  # gt-based: banned
+                select_loss="collision_loss",
+            )
+
+
+class TestComputeLosses:
+    def test_loss_structure(self, model, inputs):
+        params, batch = inputs
+        total, aux = compute_losses(model, params, batch, opt_default[0].weights, OptConfig())
+        assert np.isfinite(float(total))
+        B = batch.joints_2d.shape[0]
+        assert aux["joints_3d_loss_p_batch"].shape == (B,)
+        assert aux["collision_loss_batch"].shape == (B,)
+        assert aux["collision_loss_origin_scale"].shape == (B, 1556)
+
+    def test_perfect_init_gives_zero_p_losses(self, model):
+        params, batch = make_opt_inputs(model, batch=2, seed=1, noise=0.0)
+        _, aux = compute_losses(model, params, batch, opt_default[0].weights, OptConfig())
+        assert float(aux["joints_3d_loss_p_batch"].max()) < 1e-8
+        assert float(aux["joints_2d_loss_p_batch"].max()) < 1e-4
+
+
+class TestRunStage:
+    def test_only_stage_groups_change(self, model, inputs):
+        params, batch = inputs
+        # permissive filter so snapshots are accepted (the default -10%
+        # collision filter correctly rejects short runs -> params unchanged)
+        stage = dataclasses.replace(
+            opt_default[0],
+            epoch=10,
+            filter_loss=(("joints_3d_loss_p", "+1000"),),
+        )
+        out = run_stage(model, params, batch, stage, OptConfig(save_mid_freq=1))
+        for k in params:
+            same = np.allclose(np.asarray(out[k]), np.asarray(params[k]))
+            if k in stage.update_params:
+                assert not same, f"{k} should have been optimized"
+            else:
+                assert same, f"{k} must stay frozen"
+
+    def test_strict_filter_keeps_origin(self, model, inputs):
+        """With an unsatisfiable filter, selection must return snapshot 0
+        (the initial params) untouched."""
+        params, batch = inputs
+        stage = dataclasses.replace(
+            opt_default[0], epoch=5, filter_loss=(("joints_3d_loss_p", "-99"),)
+        )
+        out = run_stage(model, params, batch, stage, OptConfig(save_mid_freq=1))
+        for k in stage.update_params:
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(params[k]))
+
+    def test_select_loss_never_worsens(self, model, inputs):
+        """The selected params must score <= the initial params on the select
+        loss (snapshot 0 is always a valid fallback)."""
+        params, batch = inputs
+        stage = dataclasses.replace(opt_default[1], epoch=15)
+        cfg = OptConfig(save_mid_freq=1)
+        _, aux0 = compute_losses(model, params, batch, stage.weights, cfg)
+        out = run_stage(model, params, batch, stage, cfg)
+        _, aux1 = compute_losses(model, out, batch, stage.weights, cfg)
+        sel0 = np.asarray(aux0["joints_3d_loss_p_batch"])
+        sel1 = np.asarray(aux1["joints_3d_loss_p_batch"])
+        assert np.all(sel1 <= sel0 + 1e-5)
+
+    def test_running_best_matches_explicit_snapshots(self, model, inputs):
+        """Cross-check the scan's running-best against a literal re-creation
+        of the reference gather/filter/argmin over explicit snapshots."""
+        params, batch = inputs
+        stage = dataclasses.replace(opt_default[0], epoch=8)
+        cfg = OptConfig(save_mid_freq=2)
+
+        # --- explicit reference-style snapshot implementation (host loop)
+        import optax
+
+        weights = stage.weights
+        subset = {k: params[k] for k in stage.update_params}
+        frozen = {k: v for k, v in params.items() if k not in stage.update_params}
+
+        def loss_fn(sub):
+            return compute_losses(model, {**frozen, **sub}, batch, weights, cfg)
+
+        tx = optax.adam(stage.lr, b1=0.9, b2=0.999, eps=1e-8)
+        state = tx.init(subset)
+        snaps_params, snaps_losses = [], []
+        for j in range(stage.epoch + 1):
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(subset)
+            if j % cfg.save_mid_freq == 0:
+                snaps_params.append({k: np.asarray(v) for k, v in subset.items()})
+                snaps_losses.append(
+                    {
+                        "joints_3d_loss_p": np.asarray(aux["joints_3d_loss_p_batch"]),
+                        "collision_loss": np.asarray(aux["collision_loss_batch"]),
+                    }
+                )
+            updates, state = tx.update(grads, state, subset)
+            subset = optax.apply_updates(subset, updates)
+
+        # reference filter/select (ref opt_utils.py:104-153)
+        all_losses = {
+            name: np.stack([s[name] for s in snaps_losses]) for name in snaps_losses[0]
+        }
+        origin = {name: all_losses[name][0].copy() for name in all_losses}
+        valid = np.ones(all_losses["joints_3d_loss_p"].shape, bool)
+        for name, pct in stage.filter_loss:
+            bar = origin[name] * (1 + (float(pct) + 0.1) / 100)
+            valid &= all_losses[name] <= bar[None]
+        sel = all_losses[stage.select_loss].copy()
+        sel[~valid] = 1e11
+        sel[0] = origin[stage.select_loss]
+        pick = np.argmin(sel, axis=0)  # first occurrence on ties
+
+        expected = {
+            k: np.stack([snaps_params[pick[b]][k][b] for b in range(pick.shape[0])])
+            for k in stage.update_params
+        }
+
+        # --- engine output
+        out = run_stage(model, params, batch, stage, cfg)
+        for k in stage.update_params:
+            np.testing.assert_allclose(np.asarray(out[k]), expected[k], atol=1e-5)
+
+
+class TestOptimizeBatch:
+    def test_full_pipeline_improves(self, model):
+        params, batch = make_opt_inputs(model, batch=4, seed=2, noise=0.2)
+        cfg = OptConfig(save_mid_freq=2)
+        strategy = _short_strategy(epochs=20)
+
+        _, aux_before = compute_losses(model, params, batch, opt_default[0].weights, cfg)
+        out_params, results = optimize_batch(model, params, batch, strategy, cfg)
+
+        # the optimized parameters track the init predictions more closely
+        sel_before = np.asarray(aux_before["joints_3d_loss_p_batch"])
+        _, aux_after = compute_losses(model, out_params, batch, opt_default[0].weights, cfg)
+        sel_after = np.asarray(aux_after["joints_3d_loss_p_batch"])
+        assert np.all(sel_after <= sel_before + 1e-5)
+        assert np.mean(sel_after) < np.mean(sel_before)
+
+        assert results["pred_right_hand_verts"].shape == (4, 778, 3)
+        assert results["collision_loss_origin_scale"].shape == (4, 1556)
+        assert np.isfinite(np.asarray(results["pred_joints_3d"])).all()
+
+    def test_jit_cache(self, model):
+        """Second batch with same shapes must not retrace."""
+        cfg = OptConfig(save_mid_freq=2)
+        strategy = _short_strategy(epochs=4)
+        p1, b1 = make_opt_inputs(model, batch=2, seed=3)
+        p2, b2 = make_opt_inputs(model, batch=2, seed=4)
+        optimize_batch(model, p1, b1, strategy, cfg)
+        n_before = optimize_batch._cache_size()
+        optimize_batch(model, p2, b2, strategy, cfg)
+        assert optimize_batch._cache_size() == n_before
