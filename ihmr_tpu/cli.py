@@ -198,6 +198,62 @@ def cmd_optimize(args):
     print_metrics(evaluator, "optimize")
 
 
+def cmd_train_mlp(args):
+    from ihmr_tpu.data import BatchLoader, DataConfig, MLPDataset
+    from ihmr_tpu.refine import MLPCaches, OptConfig, strategies
+    from ihmr_tpu.train.loops import _to_mlp_batch
+    from ihmr_tpu.train.mlp import train_mlp_stages, warm_pass
+
+    cfg = DataConfig(
+        data_root=args.data_root, param_root=args.param_root, anno_path=args.anno_path,
+        pred_path=args.pred_path, batch_size=args.batchSize, world_size=args.world_size,
+        is_train=True, use_opt_params=args.use_opt_params,
+    )
+    dataset = MLPDataset(cfg)
+    dataset.load_data()
+    loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
+    mano_right, _mano_left, _, _ = _load_mano(args)
+    caches = MLPCaches(num_data=len(dataset))
+    config = OptConfig(robustifier=args.sdf_robustifier)
+    warm_pass(mano_right, loader, caches, config, _to_mlp_batch)
+    train_mlp_stages(
+        mano_right, strategies[args.strategy], loader, caches, config, _to_mlp_batch,
+        checkpoints_dir=args.checkpoints_dir, is_main=args.rank <= 0,
+    )
+
+
+def cmd_test_mlp(args):
+    from ihmr_tpu.data import BatchLoader, DataConfig, MLPDataset
+    from ihmr_tpu.refine import OptConfig, strategies
+    from ihmr_tpu.train import checkpoint as ckpt
+    from ihmr_tpu.train.loops import _to_mlp_batch, print_metrics
+    from ihmr_tpu.train.mlp import test_mlp_loop
+    from ihmr_tpu.utils import io_utils
+
+    cfg = DataConfig(
+        data_root=args.data_root, param_root=args.param_root, anno_path=args.anno_path,
+        pred_path=args.pred_path, batch_size=args.batchSize, world_size=args.world_size,
+    )
+    dataset = MLPDataset(cfg)
+    dataset.load_data()
+    loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
+    mano_right, mano_left, _, _ = _load_mano(args)
+    strategy = strategies[args.strategy]
+    stage_params = []
+    for stage_id in range(len(strategy)):
+        params = ckpt.load_network(args.checkpoints_dir, "mlp", args.test_epoch, stage_id=stage_id)
+        assert params is not None, f"missing stage {stage_id} checkpoint"
+        stage_params.append(params)
+    evaluator = test_mlp_loop(
+        mano_right, strategy, stage_params, loader, dataset, OptConfig(), _to_mlp_batch,
+        left_faces=mano_left.faces,
+    )
+    evaluator.remove_redunc()
+    out_dir = osp.join("evaluate_results", "mlp")
+    io_utils.save_pkl(osp.join(out_dir, f"{dataset.name}.pkl"), evaluator)
+    print_metrics(evaluator, f"mlp epoch {args.test_epoch}")
+
+
 def cmd_visualize(args):
     from ihmr_tpu.utils import io_utils
 
@@ -241,6 +297,17 @@ def main(argv=None):
     p.add_argument("--optimizer", choices=["adam", "sgd"], default="adam")
     p.add_argument("--save_mid_freq", type=int, default=10)
     p.set_defaults(func=cmd_optimize)
+
+    p = sub.add_parser("train-mlp")
+    _add_common(p)
+    p.add_argument("--use_opt_params", action="store_true")
+    p.add_argument("--sdf_robustifier", type=float, default=None)
+    p.set_defaults(func=cmd_train_mlp, strategy="mlp_default")
+
+    p = sub.add_parser("test-mlp")
+    _add_common(p)
+    p.add_argument("--test_epoch", default="latest")
+    p.set_defaults(func=cmd_test_mlp, strategy="mlp_default")
 
     p = sub.add_parser("visualize")
     p.add_argument("--results", required=True)

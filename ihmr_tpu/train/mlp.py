@@ -214,6 +214,7 @@ def test_mlp_loop(
         batch = to_mlp_batch(raw)
         _params, results = cascade(stage_params, batch)
         results = {k: np.asarray(v) for k, v in results.items()}
-        results["do_flip"] = np.zeros(len(raw["index"]), np.int32)
-        evaluator.update(np.asarray(raw["index"]), results)
+        idx = np.asarray(batch.index)
+        results["do_flip"] = np.zeros(len(idx), np.int32)
+        evaluator.update(idx, results)
     return evaluator
