@@ -36,6 +36,11 @@ def log(*args):
 
 def main():
     import jax
+
+    # persistent compilation cache: the 4 stage programs are large (scan over
+    # MANO+collision+Adam); caching drops repeat-run compile time to ~0.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ihmr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 

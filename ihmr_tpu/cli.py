@@ -174,6 +174,8 @@ def cmd_test_baseline(args):
 
 
 def cmd_optimize(args):
+    import dataclasses
+
     from ihmr_tpu.data import BatchLoader, DataConfig, OPTDataset
     from ihmr_tpu.refine import OptConfig, strategies
     from ihmr_tpu.train.loops import optimize_loop, print_metrics
@@ -188,8 +190,11 @@ def cmd_optimize(args):
     loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
     mano_right, mano_left, _, _ = _load_mano(args)
     config = OptConfig(optimizer=args.optimizer, save_mid_freq=args.save_mid_freq)
+    strategy = strategies[args.strategy]
+    if args.stage_epochs is not None:
+        strategy = tuple(dataclasses.replace(s, epoch=args.stage_epochs) for s in strategy)
     evaluator = optimize_loop(
-        mano_right, loader, dataset, strategies[args.strategy], config,
+        mano_right, loader, dataset, strategy, config,
         left_faces=mano_left.faces, is_main=args.rank <= 0,
     )
     evaluator.remove_redunc()
@@ -296,6 +301,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--optimizer", choices=["adam", "sgd"], default="adam")
     p.add_argument("--save_mid_freq", type=int, default=10)
+    p.add_argument("--stage_epochs", type=int, default=None,
+                   help="override every stage's step count (fast runs/smoke tests)")
     p.set_defaults(func=cmd_optimize)
 
     p = sub.add_parser("train-mlp")

@@ -22,6 +22,10 @@ from ihmr_tpu.refine.mlp_engine import MLPBatch
 from ihmr_tpu.refine.opt_engine import OptBatch, ParamDict, params_from_init
 
 
+import jax as _jax
+
+
+@_jax.jit
 def _decode(model: ManoModel, pose, shape, trans, cam):
     rv, lv, j3 = two_hand_decode_mirrored(
         model,
@@ -39,6 +43,10 @@ def _decode(model: ManoModel, pose, shape, trans, cam):
 def generate(model: ManoModel, batch: int, seed: int, noise: float) -> Dict[str, jnp.ndarray]:
     """Sample GT params + noisy init predictions, decode both.
 
+    Runs on the HOST CPU backend: eager (un-jitted) decode on a remote TPU
+    would dispatch hundreds of tiny ops over the tunnel (~30 ms each). Data
+    generation is setup, not the benchmarked workload.
+
     IMPORTANT: the 'init joints' stand in for the reference's separate
     keypoint-prediction model (the prediction pkl's ``joints_2d/joints_3d``
     keys, which are NOT the decoded init MANO joints; ref
@@ -47,6 +55,15 @@ def generate(model: ManoModel, batch: int, seed: int, noise: float) -> Dict[str,
     snapshot can ever be accepted. We model the keypoint net as more accurate
     than the parameter regression: init_joints = gt_joints + small jitter.
     """
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    model_cpu = jax.device_put(model, cpu)
+    with jax.default_device(cpu):
+        return _generate_on_host(model_cpu, batch, seed, noise)
+
+
+def _generate_on_host(model: ManoModel, batch: int, seed: int, noise: float) -> Dict[str, jnp.ndarray]:
     rng = np.random.RandomState(seed)
     gt_pose = jnp.asarray((rng.randn(batch, 96) * 0.2).astype(np.float32))
     gt_shape = jnp.asarray((rng.randn(batch, 20) * 0.5).astype(np.float32))

@@ -55,22 +55,26 @@ class Evaluator:
             data_idx = int(data_idx)
             anno = self.data_list[data_idx] if data_idx < len(self.data_list) else {}
             img_path_rel = anno.get("img_path", f"sample_{data_idx:08d}")
+            # np.array(copy=True): results may be read-only views of device
+            # arrays, and flip-back mutates in place
             single = dict(
                 data_idx=data_idx,
-                pred_cam_params=np.asarray(pred_results["pred_cam_params"][i]),
-                pred_shape_params=np.asarray(pred_results["pred_shape_params"][i]),
-                pred_pose_params=np.asarray(pred_results["pred_pose_params"][i]),
-                pred_hand_trans=np.asarray(pred_results["pred_hand_trans"][i]),
-                pred_joints_3d=np.asarray(pred_results["pred_joints_3d"][i]),
-                collision_loss_origin_scale=np.asarray(
+                pred_cam_params=np.array(pred_results["pred_cam_params"][i]),
+                pred_shape_params=np.array(pred_results["pred_shape_params"][i]),
+                pred_pose_params=np.array(pred_results["pred_pose_params"][i]),
+                pred_hand_trans=np.array(pred_results["pred_hand_trans"][i]),
+                pred_joints_3d=np.array(pred_results["pred_joints_3d"][i]),
+                collision_loss_origin_scale=np.array(
                     pred_results["collision_loss_origin_scale"][i]
                 ),
-                gt_joints_3d=np.asarray(pred_results["gt_joints_3d"][i]),
+                gt_joints_3d=np.array(pred_results["gt_joints_3d"][i]),
                 img_path=io_utils.osp.join(self.image_root, img_path_rel)
                 if self.image_root
                 else img_path_rel,
                 img_path_relative=img_path_rel,
             )
+            if "pred_joints_2d" in pred_results:
+                single["pred_joints_2d"] = np.array(pred_results["pred_joints_2d"][i])
             defaults = dict(
                 annot_type="machine", hand_type="interacting", hand_type_valid=1.0, scale=1.0
             )
@@ -82,7 +86,7 @@ class Evaluator:
                     for hand in ("left", "right"):
                         key = f"{mode}_{hand}_hand_verts"
                         if key in pred_results and pred_results[key] is not None:
-                            single[key] = np.asarray(pred_results[key][i]).astype(np.float16)
+                            single[key] = np.array(pred_results[key][i]).astype(np.float16)
 
             pred_j3 = single["pred_joints_3d"]
             gt_j3 = single["gt_joints_3d"][:, :3]

@@ -102,7 +102,7 @@ def load_mano_model(path: str, is_rhand: bool, dtype=jnp.float32) -> Tuple[ManoM
         posedirs=jnp.asarray(posedirs, dtype),
         j_regressor=jnp.asarray(j_regressor, dtype),
         lbs_weights=jnp.asarray(lbs_weights, dtype),
-        faces=faces,
+        faces=jnp.asarray(faces, jnp.int32),
         is_rhand=is_rhand,
     )
     return model, hands_mean.astype(np.float64)
@@ -144,7 +144,7 @@ def mirror_mano_model(right: ManoModel) -> ManoModel:
         posedirs=jnp.asarray(pd_left.reshape(9 * NUM_POSE_JOINTS, NUM_VERTS * 3), right.posedirs.dtype),
         j_regressor=right.j_regressor,
         lbs_weights=right.lbs_weights,
-        faces=np.ascontiguousarray(right.faces[:, ::-1]),
+        faces=jnp.asarray(np.asarray(right.faces)[:, ::-1], jnp.int32),
         is_rhand=False,
     )
 
@@ -240,6 +240,6 @@ def synthetic_mano_model(seed: int = 0, dtype=jnp.float32) -> ManoModel:
         posedirs=jnp.asarray(posedirs, dtype),
         j_regressor=jnp.asarray(j_regressor, dtype),
         lbs_weights=jnp.asarray(lbs_weights, dtype),
-        faces=faces,
+        faces=jnp.asarray(faces, jnp.int32),
         is_rhand=True,
     )

@@ -39,8 +39,10 @@ class ManoModel:
     """Pytree of MANO tensors for one hand.
 
     Shapes: v_template (778, 3); shapedirs (778, 3, 10); posedirs (135, 2334);
-    j_regressor (16, 778); lbs_weights (778, 16). ``faces`` (1538, 3) and
-    ``is_rhand`` are static auxiliary data (not traced).
+    j_regressor (16, 778); lbs_weights (778, 16); faces (1538, 3) int32.
+    ``faces`` is a pytree LEAF (not static metadata): arrays in jit-static
+    metadata break the compilation-cache equality check, and traced gather
+    indices compile identically.
     """
 
     v_template: jnp.ndarray
@@ -48,7 +50,7 @@ class ManoModel:
     posedirs: jnp.ndarray
     j_regressor: jnp.ndarray
     lbs_weights: jnp.ndarray
-    faces: np.ndarray = flax.struct.field(pytree_node=False)
+    faces: jnp.ndarray
     is_rhand: bool = flax.struct.field(pytree_node=False, default=True)
 
     def astype(self, dtype) -> "ManoModel":

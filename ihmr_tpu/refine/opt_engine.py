@@ -273,6 +273,126 @@ def run_stage(
     return {**frozen, **best_subset}
 
 
+# ---------------------------------------------------------------------------
+# Fused whole-pipeline engine: ONE compiled program for all stages.
+#
+# Observation: the opt_default stages differ only in DATA — which parameter
+# groups update (a 0/1 mask), the learning rate, and the loss weights; the
+# step count, filter set/percents, select loss and snapshot cadence are
+# shared. Masked Adam (grads * mask, fresh m=v=0 per stage) moves frozen
+# groups by exactly 0, so a single traced stage body scanned over the stacked
+# per-stage constants reproduces the per-stage programs bit-for-bit while
+# compiling ONCE instead of len(strategy) times (~4x less XLA compile time —
+# the dominant cold-start cost on a tunneled TPU).
+
+_ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def _tree_zeros(tree):
+    return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+
+def _strategy_is_fusable(strategy: Tuple[Stage, ...]) -> bool:
+    s0 = strategy[0]
+    return all(
+        s.epoch == s0.epoch
+        and s.filter_loss == s0.filter_loss
+        and s.select_loss == s0.select_loss
+        for s in strategy
+    )
+
+
+def _stack_stage_constants(strategy: Tuple[Stage, ...]):
+    """-> (masks {group: (S,)}, lrs (S,), weights {name: (S,)})."""
+    from ihmr_tpu.refine.schedule import PARAM_GROUP_DIMS
+
+    masks = {
+        g: jnp.asarray([1.0 if g in s.update_params else 0.0 for s in strategy])
+        for g in PARAM_GROUP_DIMS
+    }
+    lrs = jnp.asarray([s.lr for s in strategy], jnp.float32)
+    weight_names = sorted(dict(strategy[0].loss_weights))
+    weights = {
+        name: jnp.asarray([dict(s.loss_weights)[name] for s in strategy], jnp.float32)
+        for name in weight_names
+    }
+    return masks, lrs, weights
+
+
+def run_all_stages_fused(
+    model: ManoModel,
+    params: ParamDict,
+    batch: OptBatch,
+    strategy: Tuple[Stage, ...],
+    config: OptConfig,
+) -> ParamDict:
+    """lax.scan over stages of lax.scan over optimizer steps; single trace."""
+    assert _strategy_is_fusable(strategy)
+    assert config.optimizer == "adam", "fused path implements adam; use run_stage for sgd"
+    s0 = strategy[0]
+    masks, lrs, weights = _stack_stage_constants(strategy)
+    filter_names = [name for name, _pct in s0.filter_loss]
+    bars_pct = jnp.asarray(
+        [(float(pct) + 0.1) / 100.0 for _n, pct in s0.filter_loss], jnp.float32
+    )
+    select_key = _FILTER_KEYS[s0.select_loss]
+    B = batch.hand_type_array.shape[0]
+
+    def grad_fn(p, w):
+        return jax.value_and_grad(
+            lambda q: compute_losses(model, q, batch, w, config), has_aux=True
+        )(p)
+
+    def stage_body(params, stage_const):
+        mask, lr, w = stage_const
+        m = _tree_zeros(params)
+        v = _tree_zeros(params)
+
+        def step(carry, j):
+            params, m, v, best, best_select, bars = carry
+            (_, aux), grads = grad_fn(params, w)
+            grads = {k: grads[k] * mask[k] for k in grads}
+
+            cur = jnp.stack([aux[_FILTER_KEYS[n]] for n in filter_names], 0)  # (NF, B)
+            cur_select = aux[select_key]
+            is_first = j == 0
+            bars = jnp.where(is_first, cur * (1.0 + bars_pct[:, None]), bars)
+            is_snapshot = (j % config.save_mid_freq) == 0
+            valid = jnp.all(cur <= bars, axis=0)
+            improve = is_first | (is_snapshot & valid & (cur_select < best_select))
+            best_select = jnp.where(improve, cur_select, best_select)
+            best = {k: jnp.where(improve[:, None], params[k], best[k]) for k in params}
+
+            # adam (matches optax.adam/torch defaults incl. bias correction)
+            t = (j + 1).astype(jnp.float32)
+            m = {k: _ADAM_B1 * m[k] + (1 - _ADAM_B1) * grads[k] for k in m}
+            v = {k: _ADAM_B2 * v[k] + (1 - _ADAM_B2) * grads[k] ** 2 for k in v}
+            c1 = 1.0 - _ADAM_B1**t
+            c2 = 1.0 - _ADAM_B2**t
+            params = {
+                k: params[k] - lr * (m[k] / c1) / (jnp.sqrt(v[k] / c2) + _ADAM_EPS)
+                for k in params
+            }
+            return (params, m, v, best, best_select, bars), None
+
+        init = (
+            params,
+            m,
+            v,
+            params,
+            jnp.full((B,), jnp.inf, jnp.float32),
+            jnp.zeros((len(filter_names), B), jnp.float32),
+        )
+        (params, _, _, best, _, _), _ = jax.lax.scan(
+            step, init, jnp.arange(s0.epoch + 1)
+        )
+        return best, None
+
+    stage_consts = (masks, lrs, weights)
+    params, _ = jax.lax.scan(stage_body, params, stage_consts)
+    return params
+
+
 @partial(jax.jit, static_argnames=("strategy", "config"))
 def optimize_batch(
     model: ManoModel,
@@ -286,10 +406,16 @@ def optimize_batch(
 
     Returns (refined params, results dict with verts/joints/losses matching
     ``get_pred_result``; ref optimize_model.py:418-435).
+
+    Uses the fused single-compile engine when the strategy allows (uniform
+    step counts/filters, adam), else falls back to per-stage programs.
     """
     params = params_init
-    for stage in strategy:
-        params = run_stage(model, params, batch, stage, config)
+    if _strategy_is_fusable(strategy) and config.optimizer == "adam":
+        params = run_all_stages_fused(model, params, batch, strategy, config)
+    else:
+        for stage in strategy:
+            params = run_stage(model, params, batch, stage, config)
 
     total, aux = compute_losses(model, params, batch, dict(OPT_DEFAULT_LOSS_WEIGHTS), config)
     rv, lv, joints3d, joints2d = forward(model, params)

@@ -185,6 +185,9 @@ def test_baseline_loop(
     return evaluator
 
 
+test_baseline_loop.__test__ = False  # not a pytest test
+
+
 def optimize_loop(
     mano_right: ManoModel,
     loader: BatchLoader,

@@ -218,3 +218,6 @@ def test_mlp_loop(
         results["do_flip"] = np.zeros(len(idx), np.int32)
         evaluator.update(idx, results)
     return evaluator
+
+
+test_mlp_loop.__test__ = False  # not a pytest test

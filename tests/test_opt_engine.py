@@ -175,6 +175,35 @@ class TestRunStage:
             np.testing.assert_allclose(np.asarray(out[k]), expected[k], atol=1e-5)
 
 
+class TestFusedEngine:
+    def test_fused_matches_per_stage(self, model, inputs):
+        """The single-compile fused engine (masked Adam + scan over stages)
+        must reproduce the per-stage programs."""
+        from ihmr_tpu.refine.opt_engine import run_all_stages_fused
+
+        params, batch = inputs
+        strategy = _short_strategy(epochs=10)
+        cfg = OptConfig(save_mid_freq=2)
+
+        seq = dict(params)
+        for stage in strategy:
+            seq = run_stage(model, seq, batch, stage, cfg)
+        fused = run_all_stages_fused(model, params, batch, strategy, cfg)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(fused[k]), np.asarray(seq[k]), atol=2e-5, err_msg=k
+            )
+
+    def test_non_fusable_strategy_detected(self):
+        import dataclasses
+
+        from ihmr_tpu.refine.opt_engine import _strategy_is_fusable
+
+        assert _strategy_is_fusable(opt_default)
+        mixed = (opt_default[0], dataclasses.replace(opt_default[1], epoch=5))
+        assert not _strategy_is_fusable(mixed)
+
+
 class TestOptimizeBatch:
     def test_full_pipeline_improves(self, model):
         params, batch = make_opt_inputs(model, batch=4, seed=2, noise=0.2)
