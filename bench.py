@@ -50,17 +50,28 @@ def main():
     from ihmr_tpu.refine import OptConfig, opt_default, optimize_batch
 
     log(f"devices: {jax.devices()}  batch={BATCH}")
-    mano = synthetic_mano_model()
+    mano = synthetic_mano_model()  # constructed host-side
 
-    # --- encoder inference (the "infer" part)
+    # --- encoder inference (the "infer" part); init on host CPU (eager init
+    # over the device tunnel dispatches hundreds of ops at ~30ms each)
     encoder = InterHandEncoder(arch="resnet50")
-    mean_params = build_mean_params(np.zeros(48, np.float32), np.zeros(10, np.float32))
+    with jax.default_device(jax.devices("cpu")[0]):
+        mean_params = build_mean_params(np.zeros(48, np.float32), np.zeros(10, np.float32))
+        variables = encoder.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), mean_params
+        )
     images = jnp.zeros((BATCH, 224, 224, 3), jnp.float32)
-    variables = encoder.init(jax.random.PRNGKey(0), images, mean_params)
+    variables = jax.device_put(variables, jax.devices()[0])
+    mean_params = jax.device_put(mean_params, jax.devices()[0])
     infer = jax.jit(lambda v, x: encoder.apply(v, x, mean_params))
 
-    # --- OPT refinement (the hot workload)
+    # --- OPT refinement (the hot workload); generate host-side, then pin
+    # everything to the TPU once
     params, opt_batch = make_opt_inputs(mano, batch=BATCH, seed=0)
+    device = jax.devices()[0]
+    mano = jax.device_put(mano, device)
+    params = jax.device_put(params, device)
+    opt_batch = jax.device_put(opt_batch, device)
     config = OptConfig(save_mid_freq=10)
 
     t0 = time.perf_counter()

@@ -260,13 +260,20 @@ def cmd_test_mlp(args):
 
 
 def cmd_visualize(args):
+    """Render every prediction to jpg + obj (ref bash/visualize.sh ->
+    src/utils/evaluator.py:262-291)."""
     from ihmr_tpu.utils import io_utils
 
     evaluator = io_utils.load_pkl(args.results)
-    out_dir = args.out_dir or osp.join(osp.dirname(args.results), "objs")
-    io_utils.build_dir(out_dir)
-    evaluator.export_objs(out_dir, limit=args.limit)
-    print(f"wrote objs for {min(len(evaluator.pred_results), args.limit or 10**9)} samples to {out_dir}")
+    base = args.out_dir or osp.join(osp.dirname(args.results), osp.basename(args.results).rsplit(".", 1)[0])
+    obj_dir = osp.join(base, "objs")
+    img_dir = osp.join(base, "images")
+    io_utils.build_dir(obj_dir)
+    io_utils.build_dir(img_dir)
+    evaluator.export_objs(obj_dir, limit=args.limit)
+    evaluator.render_results(img_dir, limit=args.limit)
+    n = min(len(evaluator.pred_results), args.limit or 10**9)
+    print(f"wrote {n} objs to {obj_dir} and {n} renders to {img_dir}")
 
 
 def main(argv=None):

@@ -198,6 +198,47 @@ class Evaluator:
         )
 
     # ------------------------------------------------------------------
+    def render_results(self, res_vis_dir: str, limit: Optional[int] = None, size_type: str = "double"):
+        """Render predicted meshes over the source images to jpg
+        (ref evaluator.py:231-275, OpenDR replaced by the numpy rasterizer).
+        Missing image files render on a blank canvas."""
+        import cv2
+
+        from ihmr_tpu.utils import vis
+
+        io_utils.build_dir(res_vis_dir)
+        size = self.input_size * 2 if size_type == "double" else self.input_size
+        for result in self.pred_results[:limit]:
+            if "pred_right_hand_verts" not in result:
+                continue
+            img = None
+            if io_utils.osp.exists(result["img_path"]):
+                ori = cv2.imread(result["img_path"])
+                if ori is not None:
+                    h, w = ori.shape[:2]
+                    ratio = size / max(h, w)
+                    canvas = np.zeros((size, size, 3), np.uint8)
+                    rh, rw = int(h * ratio), int(w * ratio)
+                    canvas[:rh, :rw] = cv2.resize(ori, (rw, rh))
+                    img = canvas[..., ::-1]  # BGR -> RGB
+            if img is None:
+                img = np.zeros((size, size, 3), np.uint8)
+            render = vis.render_together(
+                [
+                    np.asarray(result["pred_right_hand_verts"], np.float32),
+                    np.asarray(result["pred_left_hand_verts"], np.float32),
+                ],
+                [np.asarray(self.right_faces), np.asarray(self.left_faces)],
+                [vis.COLORS["light_green"], vis.COLORS["light_blue"]],
+                np.asarray(result["pred_cam_params"]),
+                size,
+                img,
+            )
+            out = np.concatenate([img, render], axis=0)
+            name = result["img_path_relative"].replace("/", "_")
+            name = name.rsplit(".", 1)[0] + ".jpg"
+            cv2.imwrite(io_utils.osp.join(res_vis_dir, name), out[..., ::-1])
+
     def export_objs(self, res_obj_dir: str, limit: Optional[int] = None):
         """Dump predicted two-hand meshes as .obj (ref :231-275 without the
         OpenDR render)."""

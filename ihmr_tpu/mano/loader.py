@@ -79,6 +79,15 @@ def _load_raw_pkl(path: str) -> Dict:
     return _TolerantUnpickler(io.BytesIO(data), encoding="latin1").load()
 
 
+def _on_host_cpu():
+    """Device context for asset construction: MANO tensors are host assets;
+    building them on the default (possibly remote TPU) device would force
+    device->host pulls later, which the axon tunnel handles poorly."""
+    import jax
+
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 def load_mano_model(path: str, is_rhand: bool, dtype=jnp.float32) -> Tuple[ManoModel, np.ndarray]:
     """Load one ``MANO_*.pkl``. Returns (model, hands_mean (45,))."""
     raw = _load_raw_pkl(path)
@@ -96,15 +105,16 @@ def load_mano_model(path: str, is_rhand: bool, dtype=jnp.float32) -> Tuple[ManoM
         parents[0] = -1
         assert np.array_equal(parents, MANO_PARENTS), "unexpected MANO kinematic tree"
 
-    model = ManoModel(
-        v_template=jnp.asarray(v_template, dtype),
-        shapedirs=jnp.asarray(shapedirs, dtype),
-        posedirs=jnp.asarray(posedirs, dtype),
-        j_regressor=jnp.asarray(j_regressor, dtype),
-        lbs_weights=jnp.asarray(lbs_weights, dtype),
-        faces=jnp.asarray(faces, jnp.int32),
-        is_rhand=is_rhand,
-    )
+    with _on_host_cpu():
+        model = ManoModel(
+            v_template=jnp.asarray(v_template, dtype),
+            shapedirs=jnp.asarray(shapedirs, dtype),
+            posedirs=jnp.asarray(posedirs, dtype),
+            j_regressor=jnp.asarray(j_regressor, dtype),
+            lbs_weights=jnp.asarray(lbs_weights, dtype),
+            faces=jnp.asarray(faces, jnp.int32),
+            is_rhand=is_rhand,
+        )
     return model, hands_mean.astype(np.float64)
 
 
@@ -234,12 +244,13 @@ def synthetic_mano_model(seed: int = 0, dtype=jnp.float32) -> ManoModel:
     shapedirs = 0.004 * basis[:, None, :] * (0.5 + sphere)[:, :, None]
     posedirs = 0.002 * rng.randn(9 * NUM_POSE_JOINTS, NUM_VERTS * 3) / np.sqrt(NUM_VERTS)
 
-    return ManoModel(
-        v_template=jnp.asarray(v_template, dtype),
-        shapedirs=jnp.asarray(shapedirs, dtype),
-        posedirs=jnp.asarray(posedirs, dtype),
-        j_regressor=jnp.asarray(j_regressor, dtype),
-        lbs_weights=jnp.asarray(lbs_weights, dtype),
-        faces=jnp.asarray(faces, jnp.int32),
-        is_rhand=True,
-    )
+    with _on_host_cpu():
+        return ManoModel(
+            v_template=jnp.asarray(v_template, dtype),
+            shapedirs=jnp.asarray(shapedirs, dtype),
+            posedirs=jnp.asarray(posedirs, dtype),
+            j_regressor=jnp.asarray(j_regressor, dtype),
+            lbs_weights=jnp.asarray(lbs_weights, dtype),
+            faces=jnp.asarray(faces, jnp.int32),
+            is_rhand=True,
+        )

@@ -109,19 +109,35 @@ def penetration_depth(
     faces: jnp.ndarray,  # (F, 3) int, outward winding
     num_candidates: int = 8,
 ) -> jnp.ndarray:
-    """Per-query penetration depth into a closed mesh; 0 outside. (V,)"""
+    """Per-query penetration depth into a closed mesh; 0 outside. (V,)
+
+    The MESH side is detached (stop_gradient): the reference's CUDA phi-grid
+    voxelization is non-differentiable, so its collision gradients only push
+    the sampled (penetrating) vertices, never deform the penetrated mesh.
+    Matching that here also removes the (V, K)->(F, 3, 3) scatter from the
+    VJP — a large win in both compile and step time inside the refinement
+    scan. Both hands still receive gradients because each is the query of one
+    of the two directions.
+    """
+    mesh_verts = jax.lax.stop_gradient(mesh_verts)
     tri = mesh_verts[faces]  # (F, 3, 3)
     centroid = jnp.mean(tri, axis=1)  # (F, 3)
 
-    # (V, F) squared distances on the MXU. bf16-tolerant: only ranks matter.
-    q2 = jnp.sum(query * query, axis=-1, keepdims=True)  # (V, 1)
-    c2 = jnp.sum(centroid * centroid, axis=-1)[None, :]  # (1, F)
-    qc = query @ centroid.T  # (V, F) matmul
-    d2 = q2 + c2 - 2.0 * qc
+    # (V, F) squared distances. Candidate RANKING tolerates low precision, so
+    # the matmul runs in bf16 (exact refinement below is fp32); measured on
+    # v5e this plus approx_min_k is ~5x faster than fp32 + lax.top_k with a
+    # worst-case depth deviation of 2e-4 x hand size.
+    qb = query.astype(jnp.bfloat16)
+    cb = centroid.astype(jnp.bfloat16)
+    q2 = jnp.sum(qb * qb, axis=-1, keepdims=True)
+    c2 = jnp.sum(cb * cb, axis=-1)[None, :]
+    qc = qb @ cb.T  # (V, F) matmul on the MXU
+    d2 = (q2 + c2 - 2.0 * qc).astype(jnp.float32)
 
-    # K nearest candidate triangles (static K)
-    _, idx = jax.lax.top_k(-d2, num_candidates)  # (V, K)
-    tri_k = tri[idx]  # (V, K, 3, 3)
+    # K nearest candidate triangles (static K); approx_min_k is the
+    # TPU-native partial reduction (no full sort like lax.top_k)
+    _, idx = jax.lax.approx_min_k(d2, num_candidates)  # (V, K)
+    tri_k = tri.reshape(-1, 9)[idx].reshape(idx.shape[0], num_candidates, 3, 3)
 
     # exact refinement on candidates
     closest = point_triangle_closest(query[:, None, :], tri_k)  # (V, K, 3)
@@ -129,9 +145,6 @@ def penetration_depth(
     dist2 = jnp.sum(diff * diff, axis=-1)  # (V, K)
     best = jnp.argmin(dist2, axis=-1)  # (V,)
 
-    take = lambda arr: jnp.take_along_axis(
-        arr, best[:, None, None, None] if arr.ndim == 4 else best[:, None], axis=1
-    )
     tri_best = jnp.take_along_axis(tri_k, best[:, None, None, None], axis=1)[:, 0]  # (V,3,3)
     closest_best = jnp.take_along_axis(closest, best[:, None, None], axis=1)[:, 0]  # (V,3)
     dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(dist2, best[:, None], axis=1)[:, 0], _EPS))
@@ -155,7 +168,7 @@ def _pair_depths(
     return jnp.concatenate([d_r, d_l], axis=0)
 
 
-@partial(jax.jit, static_argnames=("num_candidates", "robustifier"))
+@partial(jax.jit, static_argnames=("num_candidates", "robustifier", "backend"))
 def collision_loss(
     right_verts: jnp.ndarray,  # (B, 778, 3)
     left_verts: jnp.ndarray,  # (B, 778, 3)
@@ -164,19 +177,36 @@ def collision_loss(
     hand_type_array: jnp.ndarray,  # (B, 2)
     robustifier: Optional[float] = None,
     num_candidates: int = 8,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reference-contract collision loss (see module docstring).
 
     Returns (mean_loss (), per_sample (B,), per_vert_origin_scale (B, 1556)).
     Non-interacting samples (sum(hand_type) <= 1.5) contribute zero loss but
     keep their raw origin-scale depths (ref loss_utils.py:186-189).
+
+    backend: 'auto' (pallas on TPU, xla elsewhere), 'xla' (candidate +
+    refine composite) or 'pallas' (fused exact single-pass kernel; see
+    ihmr_tpu.ops.pallas_collision — exact to 1e-9 vs brute force, while the
+    bf16 candidate path deviates up to ~2e-2 on TPU).
     """
-    depths = jax.vmap(
-        lambda r, l: _pair_depths(r, l, faces_right, faces_left, num_candidates)
-    )(right_verts, left_verts)  # (B, 1556)
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    if backend == "pallas":
+        from ihmr_tpu.ops.pallas_collision import pair_depths_pallas
+
+        depths = jax.vmap(
+            lambda r, l: pair_depths_pallas(r, l, faces_right, faces_left)
+        )(right_verts, left_verts)  # (B, 1556)
+    else:
+        assert backend == "xla", backend
+        depths = jax.vmap(
+            lambda r, l: _pair_depths(r, l, faces_right, faces_left, num_candidates)
+        )(right_verts, left_verts)  # (B, 1556)
 
     # normalization scale: half the max extent of the two-hand union AABB
-    allv = jnp.concatenate([right_verts, left_verts], axis=1)  # (B, 1556, 3)
+    # (detached, like the reference's grid scale)
+    allv = jax.lax.stop_gradient(jnp.concatenate([right_verts, left_verts], axis=1))
     extent = jnp.max(allv, axis=1) - jnp.min(allv, axis=1)  # (B, 3)
     scale = 0.5 * jnp.max(extent, axis=-1, keepdims=True)  # (B, 1)
     scale = jnp.maximum(scale, 1e-6)

@@ -1,3 +1,4 @@
+from ihmr_tpu.parallel import dist  # noqa: F401
 from ihmr_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     batch_sharding,

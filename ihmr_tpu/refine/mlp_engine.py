@@ -184,6 +184,7 @@ def compute_losses(
         batch.hand_type_array,
         robustifier=config.robustifier,
         num_candidates=config.num_candidates,
+        backend=config.collision_backend,
     )
     aux["collision_loss"] = coll * weights["collision_loss"]
     aux["collision_loss_batch"] = coll_batch * weights["collision_loss"]

@@ -67,6 +67,7 @@ class OptConfig:
     save_mid_freq: int = flax.struct.field(pytree_node=False, default=10)
     num_candidates: int = flax.struct.field(pytree_node=False, default=8)
     robustifier: Optional[float] = flax.struct.field(pytree_node=False, default=None)
+    collision_backend: str = flax.struct.field(pytree_node=False, default="auto")
 
 
 ParamDict = Dict[str, jnp.ndarray]
@@ -178,6 +179,7 @@ def compute_losses(
         batch.hand_type_array,
         robustifier=config.robustifier,
         num_candidates=config.num_candidates,
+        backend=config.collision_backend,
     )
     aux["collision_loss"] = coll * weights["collision_loss_weight"]
     aux["collision_loss_batch"] = coll_batch  # unweighted, like the reference

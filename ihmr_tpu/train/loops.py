@@ -116,8 +116,14 @@ def train_baseline_loop(
     print_freq: int = 2048,
     save_epoch_freq: int = 5,
     is_main: bool = True,
+    visualizer=None,
+    display_freq: int = 0,
 ) -> BaselineState:
-    """Epoch loop of ref src/train_baseline.py:60-111."""
+    """Epoch loop of ref src/train_baseline.py:60-111.
+
+    When ``visualizer`` (ihmr_tpu.utils.visualizer.Visualizer) and
+    ``display_freq`` are set, rank 0 renders the 4-panel training visuals
+    every display_freq samples (ref train_baseline.py:92-98)."""
     loss_stat = LossStat(len(loader))
     time_stat = TimeStat(config.total_epoch)
     for epoch in range(start_epoch, config.total_epoch + 1):
@@ -125,6 +131,7 @@ def train_baseline_loop(
         loss_stat.set_epoch(epoch)
         time_stat.epoch_init(epoch)
         printed = 0
+        displayed = 0
         for i, raw in enumerate(loader):
             bb = _to_baseline_batch(raw)
             time_stat.stat_data_time()
@@ -136,6 +143,27 @@ def train_baseline_loop(
                 if printed >= print_freq:
                     loss_stat.print_loss(i)
                     printed = 0
+                if visualizer is not None and display_freq > 0:
+                    displayed += bb.img.shape[0]
+                    if displayed >= display_freq:
+                        displayed = 0
+                        from ihmr_tpu.utils.train_visuals import visuals_from_eval_outputs
+
+                        _m, outputs = eval_step(
+                            encoder, state, bb, mano_right, mano_left, config
+                        )
+                        visuals = visuals_from_eval_outputs(
+                            bb,
+                            {k: np.asarray(v) for k, v in outputs.items() if v is not None},
+                            mano_right.faces,
+                            mano_left.faces,
+                            input_size=bb.img.shape[1],
+                        )
+                        visualizer.display_current_results(visuals, epoch, i)
+                        visualizer.plot_current_errors(
+                            epoch + i / max(len(loader), 1),
+                            {k: float(v) for k, v in metrics.items()},
+                        )
             time_stat.stat_visualize_time()
         if is_main:
             time_stat.print_stat()

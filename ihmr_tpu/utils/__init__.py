@@ -1,1 +1,1 @@
-from ihmr_tpu.utils import io_utils, vis, visualizer  # noqa: F401
+from ihmr_tpu.utils import io_utils, train_visuals, vis, visualizer  # noqa: F401
