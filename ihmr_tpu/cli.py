@@ -105,6 +105,7 @@ def cmd_train_baseline(args):
         lr_decay_type=args.lr_decay_type,
         total_epoch=args.total_epoch,
         use_collision_loss=args.use_collision_loss,
+        use_hand_rotation=args.use_hand_rotation,
         sdf_robustifier=args.sdf_robustifier,
     )
     encoder = InterHandEncoder(arch=args.main_encoder)
@@ -170,6 +171,8 @@ def cmd_test_baseline(args):
     evaluator.remove_redunc()
     out_dir = osp.join("evaluate_results", "baseline")
     io_utils.save_pkl(osp.join(out_dir, f"{dataset.name}.pkl"), evaluator)
+    if getattr(args, "visualize_eval", False):
+        evaluator.render_results(osp.join(out_dir, dataset.name, "images"))
     print_metrics(evaluator, f"epoch {args.test_epoch}")
 
 
@@ -288,6 +291,8 @@ def main(argv=None):
     p.add_argument("--print_freq", type=int, default=2048)
     p.add_argument("--save_epoch_freq", type=int, default=5)
     p.add_argument("--use_collision_loss", action="store_true")
+    p.add_argument("--use_hand_rotation", action="store_true",
+                   help="include global orient in the rodrigues pose loss")
     p.add_argument("--sdf_robustifier", type=float, default=None)
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--pretrain_weights", default=None)
@@ -302,6 +307,8 @@ def main(argv=None):
     p = sub.add_parser("test-baseline")
     _add_common(p)
     p.add_argument("--test_epoch", default="latest")
+    p.add_argument("--visualize_eval", action="store_true",
+                   help="render predictions to jpg after evaluation")
     p.set_defaults(func=cmd_test_baseline)
 
     p = sub.add_parser("optimize")
