@@ -20,7 +20,6 @@ import argparse
 import dataclasses
 import os
 import os.path as osp
-import sys
 
 import numpy as np
 

@@ -21,8 +21,8 @@ from __future__ import annotations
 
 import os.path as osp
 import random
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 import cv2
 import numpy as np

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import random
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import cv2
 import numpy as np

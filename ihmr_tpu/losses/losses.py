@@ -23,7 +23,7 @@ Collision lives in ihmr_tpu.ops.collision (the reference's CUDA SDF call).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

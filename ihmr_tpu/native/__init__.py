@@ -7,8 +7,7 @@ missing; consumers then use the NumPy/cv2 path in ihmr_tpu.data.preprocess.
 from __future__ import annotations
 
 import ctypes
-import os.path as osp
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

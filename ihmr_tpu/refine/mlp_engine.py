@@ -20,9 +20,9 @@ allgather (see ihmr_tpu.parallel).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.struct
 import jax

@@ -21,7 +21,7 @@ Registered strategies:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Tuple
 
 PARAM_GROUP_DIMS: Dict[str, int] = {

@@ -22,7 +22,6 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
-from ihmr_tpu.utils import io_utils
 
 
 def _checkpointer():

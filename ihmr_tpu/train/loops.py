@@ -8,9 +8,6 @@ the CLI in ihmr_tpu.cli builds those from flags.
 
 from __future__ import annotations
 
-import dataclasses
-import os.path as osp
-import time
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -18,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ihmr_tpu.data.loader import BatchLoader
-from ihmr_tpu.eval import Evaluator, ResultStat
+from ihmr_tpu.eval import Evaluator
 from ihmr_tpu.mano.model import ManoModel
 from ihmr_tpu.refine import (
     MLPBatch,
@@ -28,7 +25,6 @@ from ihmr_tpu.refine import (
     optimize_batch,
     params_from_init,
 )
-from ihmr_tpu.refine import mlp_engine
 from ihmr_tpu.train import checkpoint as ckpt
 from ihmr_tpu.train.baseline import (
     BaselineBatch,

@@ -14,9 +14,7 @@ make_cascade_apply.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ TensorBoard/Perfetto, plus annotation helpers for the run loops.
 from __future__ import annotations
 
 import contextlib
-import os.path as osp
 import time
 from typing import Iterator, Optional
 

@@ -11,7 +11,7 @@ import os
 import os.path as osp
 import pickle
 import shutil
-from typing import Any, Iterable, List
+from typing import Any, List
 
 import numpy as np
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os.path as osp
 from collections import OrderedDict
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 
