@@ -79,6 +79,35 @@ def _load_raw_pkl(path: str) -> Dict:
     return _TolerantUnpickler(io.BytesIO(data), encoding="latin1").load()
 
 
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit ints with two zero bits (Morton encoding helper)."""
+    v = v.astype(np.uint64)
+    v = (v | (v << 16)) & np.uint64(0x030000FF)
+    v = (v | (v << 8)) & np.uint64(0x0300F00F)
+    v = (v | (v << 4)) & np.uint64(0x030C30C3)
+    v = (v | (v << 2)) & np.uint64(0x09249249)
+    return v
+
+
+def sort_faces_spatially(v_template: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Reorder faces by Morton code of their rest-pose centroids.
+
+    Spatially coherent triangle tiles give the pallas collision kernel tight
+    per-tile bounding spheres, which is what makes its tile pruning effective.
+    Purely an ordering change — all consumers take a min/sum over faces.
+    """
+    v = np.asarray(v_template, np.float64)
+    f = np.asarray(faces, np.int64)
+    centroid = v[f].mean(axis=1)
+    lo = centroid.min(0)
+    span = np.maximum(centroid.max(0) - lo, 1e-9)
+    q = np.clip(((centroid - lo) / span * 1023).astype(np.int64), 0, 1023)
+    morton = (
+        _spread_bits(q[:, 0]) | (_spread_bits(q[:, 1]) << np.uint64(1)) | (_spread_bits(q[:, 2]) << np.uint64(2))
+    )
+    return f[np.argsort(morton, kind="stable")]
+
+
 def _on_host_cpu():
     """Device context for asset construction: MANO tensors are host assets;
     building them on the default (possibly remote TPU) device would force
@@ -97,6 +126,7 @@ def load_mano_model(path: str, is_rhand: bool, dtype=jnp.float32) -> Tuple[ManoM
     j_regressor = _to_numpy(raw["J_regressor"]).reshape(NUM_JOINTS, NUM_VERTS)
     lbs_weights = _to_numpy(raw["weights"]).reshape(NUM_VERTS, NUM_JOINTS)
     faces = np.asarray(_to_numpy(raw["f"]), np.int64).reshape(-1, 3)
+    faces = sort_faces_spatially(v_template, faces)
     hands_mean = _to_numpy(raw.get("hands_mean", np.zeros(3 * NUM_POSE_JOINTS))).reshape(-1)
 
     kintree = raw.get("kintree_table")
@@ -207,6 +237,7 @@ def synthetic_mano_model(seed: int = 0, dtype=jnp.float32) -> ManoModel:
     else:  # pad by repeating (degenerate-free: reuse existing faces)
         reps = np.resize(np.arange(faces.shape[0]), 1538 - faces.shape[0])
         faces = np.concatenate([faces, faces[reps]], axis=0)
+    faces = sort_faces_spatially(v_template, faces)
 
     # --- joints: wrist at origin-ish, 5 fingers x 3 joints along rays
     j_pos = np.zeros((NUM_JOINTS, 3))

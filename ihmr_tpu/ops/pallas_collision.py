@@ -128,20 +128,27 @@ def _tile_d2_dot(q, tri):
     return d2, dot, (dx, dy, dz)
 
 
-def _kernel(qt_ref, tri_ref, nt_ref, depth_ref, dir_ref):
+def _kernel(qt_ref, tri_ref, bounds_ref, nt_ref, depth_ref, dir_ref):
     """One grid step: Q_TILE queries (lanes) x all triangle tiles.
 
     qt_ref:    (3, Q_TILE) query components (VMEM)
     tri_ref:   (9, F_pad) triangle components (VMEM)
+    bounds_ref:(4, n_tiles) per-triangle-tile bounding spheres cx,cy,cz,r (SMEM)
     nt_ref:    (1, 1) SMEM — true triangle count
     depth_ref: (1, Q_TILE) penetration depth
     dir_ref:   (3, Q_TILE) unit inward direction of the best closest point
+
+    Tile pruning: a triangle tile is skipped when EVERY query's current best
+    distance already beats the tile's bounding-sphere lower bound — with
+    spatially sorted faces this prunes most (query-tile, tri-tile) pairs
+    after the first few tiles establish bounds.
     """
     n_tri = nt_ref[0, 0]
     num_t_tiles = tri_ref.shape[1] // T_TILE
     q = (qt_ref[0:1, :], qt_ref[1:2, :], qt_ref[2:3, :])
+    qx, qy, qz = q
 
-    def body(t, carry):
+    def compute_tile(t, carry):
         best_d2, best_dot, bdx, bdy, bdz = carry
         tri = tri_ref[:, pl.ds(t * T_TILE, T_TILE)]  # (9, T)
         d2, dot, (dx, dy, dz) = _tile_d2_dot(q, tri)  # (T, Q)
@@ -164,6 +171,20 @@ def _kernel(qt_ref, tri_ref, nt_ref, depth_ref, dir_ref):
         bdy = jnp.where(better, tile_dy, bdy)
         bdz = jnp.where(better, tile_dz, bdz)
         return best_d2, best_dot, bdx, bdy, bdz
+
+    def body(t, carry):
+        best_d2 = carry[0]
+        cxt = bounds_ref[0, t]
+        cyt = bounds_ref[1, t]
+        czt = bounds_ref[2, t]
+        rt = bounds_ref[3, t]
+        ddx = qx - cxt
+        ddy = qy - cyt
+        ddz = qz - czt
+        lb = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) - rt  # (1, Q)
+        lb = jnp.maximum(lb, 0.0)
+        prunable = jnp.max(best_d2 - lb * lb) < 0.0  # all queries already closer
+        return jax.lax.cond(prunable, lambda c: c, lambda c: compute_tile(t, c), carry)
 
     init = (
         jnp.full((1, Q_TILE), _BIG, jnp.float32),
@@ -193,12 +214,33 @@ def _forward(query: jnp.ndarray, tri_flat: jnp.ndarray):
     F = tri_flat.shape[0]
     Vp = _round_up(V, Q_TILE)
     Fp = _round_up(F, T_TILE)
-    qt = jnp.zeros((3, Vp), jnp.float32).at[:, :V].set(query.T.astype(jnp.float32))
-    # pad queries far away so padded lanes never report penetration
-    if Vp > V:
-        qt = qt.at[:, V:].set(1e3)
-    tt = jnp.zeros((9, Fp), jnp.float32).at[:, :F].set(tri_flat.T.astype(jnp.float32))
+    n_tiles = Fp // T_TILE
+    qT = query.T.astype(jnp.float32)
+    # pad queries by REPEATING the first query: duplicates are sliced off and
+    # (unlike far-away pad values) do not poison the tile-pruning bound
+    qt = jnp.concatenate([qT, jnp.broadcast_to(qT[:, :1], (3, Vp - V))], axis=1)
+    tT = tri_flat.T.astype(jnp.float32)
+    # pad triangles by repeating the first triangle (masked out by n_tri in
+    # the kernel; keeps the last tile's bounding sphere tight and valid)
+    tt = jnp.concatenate([tT, jnp.broadcast_to(tT[:, :1], (9, Fp - F))], axis=1)
     nt = jnp.asarray([[F]], jnp.int32)
+
+    # per-tile bounding spheres over all 3 triangle vertices
+    tiles = tt.reshape(9, n_tiles, T_TILE)
+    vx = jnp.stack([tiles[0], tiles[3], tiles[6]], 0)  # (3, n_tiles, T)
+    vy = jnp.stack([tiles[1], tiles[4], tiles[7]], 0)
+    vz = jnp.stack([tiles[2], tiles[5], tiles[8]], 0)
+    cx = (vx.min((0, 2)) + vx.max((0, 2))) * 0.5  # (n_tiles,)
+    cy = (vy.min((0, 2)) + vy.max((0, 2))) * 0.5
+    cz = (vz.min((0, 2)) + vz.max((0, 2))) * 0.5
+    r = jnp.sqrt(
+        (
+            (vx - cx[None, :, None]) ** 2
+            + (vy - cy[None, :, None]) ** 2
+            + (vz - cz[None, :, None]) ** 2
+        ).max((0, 2))
+    )
+    bounds = jnp.stack([cx, cy, cz, r], 0)  # (4, n_tiles)
 
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests use interpreter
     depth, dirs = pl.pallas_call(
@@ -207,6 +249,7 @@ def _forward(query: jnp.ndarray, tri_flat: jnp.ndarray):
         in_specs=[
             pl.BlockSpec((3, Q_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -218,7 +261,7 @@ def _forward(query: jnp.ndarray, tri_flat: jnp.ndarray):
             jax.ShapeDtypeStruct((3, Vp), jnp.float32),
         ],
         interpret=interpret,
-    )(qt, tt, nt)
+    )(qt, tt, bounds, nt)
     return depth[0, :V], dirs[:, :V].T
 
 
