@@ -75,6 +75,8 @@ class Evaluator:
             )
             if "pred_joints_2d" in pred_results:
                 single["pred_joints_2d"] = np.array(pred_results["pred_joints_2d"][i])
+            if pred_results.get("img_feat") is not None:
+                single["img_feat"] = np.array(pred_results["img_feat"][i], np.float32)
             defaults = dict(
                 annot_type="machine", hand_type="interacting", hand_type_valid=1.0, scale=1.0
             )

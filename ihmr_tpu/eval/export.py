@@ -49,7 +49,7 @@ def evaluator_to_prediction_pkl(
             img_feat=(
                 img_feats[key]
                 if img_feats and key in img_feats
-                else np.zeros(1024, np.float32)
+                else pred.get("img_feat", np.zeros(1024, np.float32))
             ),
         )
         out[key] = entry

@@ -30,8 +30,12 @@ class InterHandEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, images: jnp.ndarray, mean_params: jnp.ndarray, train: bool = False
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        self,
+        images: jnp.ndarray,
+        mean_params: jnp.ndarray,
+        train: bool = False,
+        return_features: bool = False,
+    ):
         # mean_params: (122,) or (B, 122) — the HMR mean vector the iterative
         # regressor starts from (ref baseline_model.py:105-130).
         feat = get_backbone(self.arch, dtype=self.dtype, name="main_encoder")(images, train=train)
@@ -44,6 +48,8 @@ class InterHandEncoder(nn.Module):
             pred = pred + regressor(jnp.concatenate([feat, pred], axis=-1))
 
         hand_type = nn.sigmoid(nn.Dense(2, name="hand_classifier")(feat))
+        if return_features:
+            return pred, hand_type, feat
         return pred, hand_type
 
     def features(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:

@@ -136,8 +136,13 @@ def forward_and_loss(
             variables, batch.img, mean_params, train=True, mutable=["batch_stats"]
         )
         new_stats = mutated["batch_stats"]
+        img_feat = None
     else:
-        pred_params, pred_hand_type = encoder.apply(variables, batch.img, mean_params)
+        # eval also surfaces the 1024-d feature (the img_feat the MLP/OPT
+        # prediction pkls carry; ref data_utils.py:64-66)
+        pred_params, pred_hand_type, img_feat = encoder.apply(
+            variables, batch.img, mean_params, return_features=True
+        )
         new_stats = batch_stats
 
     hp = HandParams.from_flat(pred_params)
@@ -233,6 +238,7 @@ def forward_and_loss(
         "pred_joints_2d": pred_j2,
         "gt_joints_3d": batch.joints_3d,
         "collision_loss_origin_scale": coll_origin,
+        "img_feat": None if train else img_feat,
     }
     return total, (m, new_stats, outputs)
 
