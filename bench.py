@@ -95,6 +95,29 @@ def main():
     final_coll = float(jnp.mean(results["collision_loss"]))
     log(f"final mean collision loss: {final_coll:.5f} (sanity: finite={np.isfinite(final_coll)})")
 
+    if os.environ.get("IHMR_BENCH_STREAMING"):
+        # streaming-video mode: warm-started short-schedule tracking
+        # (BASELINE.json config #5). Reported to stderr only.
+        from ihmr_tpu.refine.tracker import TwoHandTracker, streaming_strategy
+
+        tracker = TwoHandTracker(
+            mano, strategy=streaming_strategy(30), config=OptConfig(save_mid_freq=5)
+        )
+        tstate = tracker.init(params)
+        tstate, _ = tracker.step(tstate, opt_batch)  # compile
+        jax.block_until_ready(tstate.params)
+        t0 = time.perf_counter()
+        frames = 5
+        for _ in range(frames):
+            tstate, _ = tracker.step(tstate, opt_batch)
+        jax.block_until_ready(tstate.params)
+        dt = time.perf_counter() - t0
+        log(
+            f"streaming: {frames} frames x {BATCH} streams in {dt:.2f}s -> "
+            f"{frames * BATCH / dt:.1f} tracked hands/sec "
+            f"({frames / dt * 1000:.0f} ms/frame-batch)"
+        )
+
     print(
         json.dumps(
             {
