@@ -128,80 +128,100 @@ def _tile_d2_dot(q, tri):
     return d2, dot, (dx, dy, dz)
 
 
-def _kernel(qt_ref, tri_ref, bounds_ref, nt_ref, depth_ref, dir_ref):
+def _kernel(qt_ref, tri_ref, cent_ref, bounds_ref, nt_ref, depth_ref, dir_ref):
     """One grid step: Q_TILE queries (lanes) x all triangle tiles.
 
     qt_ref:    (3, Q_TILE) query components (VMEM)
     tri_ref:   (9, F_pad) triangle components (VMEM)
+    cent_ref:  (4, F_pad) per-triangle centroid cx,cy,cz + circumradius (VMEM)
     bounds_ref:(4, n_tiles) per-triangle-tile bounding spheres cx,cy,cz,r (SMEM)
     nt_ref:    (1, 1) SMEM — true triangle count
     depth_ref: (1, Q_TILE) penetration depth
     dir_ref:   (3, Q_TILE) unit inward direction of the best closest point
 
-    Tile pruning: a triangle tile is skipped when EVERY query's current best
-    distance already beats the tile's bounding-sphere lower bound — with
-    spatially sorted faces this prunes most (query-tile, tri-tile) pairs
-    after the first few tiles establish bounds.
+    Two-phase exact search:
+      pass 1 (cheap, ~10 ops/pair): per-query UPPER bound on the true min
+        distance via centroid distance + triangle circumradius;
+      pass 2 (exact, ~110 ops/pair): a triangle tile is evaluated only if its
+        bounding-sphere LOWER bound beats some query's upper bound — with
+        Morton-sorted faces almost every (query-tile, tri-tile) pair prunes,
+        leaving the few tiles that can actually contain a query's argmin.
+    Exactness is preserved: a pruned tile provably contains no query's
+    nearest triangle.
     """
     n_tri = nt_ref[0, 0]
     num_t_tiles = tri_ref.shape[1] // T_TILE
     q = (qt_ref[0:1, :], qt_ref[1:2, :], qt_ref[2:3, :])
     qx, qy, qz = q
 
-    def compute_tile(t, carry):
-        best_d2, best_dot, bdx, bdy, bdz = carry
-        tri = tri_ref[:, pl.ds(t * T_TILE, T_TILE)]  # (9, T)
-        d2, dot, (dx, dy, dz) = _tile_d2_dot(q, tri)  # (T, Q)
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, Q_TILE), 0) + t * T_TILE
-        d2 = jnp.where(t_ids < n_tri, d2, _BIG)
+    # NOTE: a cheap centroid-distance pre-pass establishing per-query upper
+    # bounds was measured (v5e, B=128) to cost more than its extra pruning
+    # recovers — the incremental best below converges within a few tiles, and
+    # tile-level pruning is limited by query-tile spatial spread, not bound
+    # quality. cent_ref is kept in the signature for future hierarchical
+    # variants but unused.
+    del cent_ref
 
-        tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, Q)
-        is_min = d2 <= tile_min
-        pick = jnp.where(is_min, 1.0, 0.0)
-        norm = jnp.maximum(jnp.sum(pick, axis=0, keepdims=True), 1.0)
-        tile_dot = jnp.sum(jnp.where(is_min, dot, 0.0), axis=0, keepdims=True) / norm
-        tile_dx = jnp.sum(jnp.where(is_min, dx, 0.0), axis=0, keepdims=True) / norm
-        tile_dy = jnp.sum(jnp.where(is_min, dy, 0.0), axis=0, keepdims=True) / norm
-        tile_dz = jnp.sum(jnp.where(is_min, dz, 0.0), axis=0, keepdims=True) / norm
+    def scoped(best_ref):
+        # best_ref rows: 0 best_d2, 1 best_dot, 2..4 (q - closest) components
+        best_ref[0:1, :] = jnp.full((1, Q_TILE), _BIG, jnp.float32)
+        best_ref[1:5, :] = jnp.zeros((4, Q_TILE), jnp.float32)
 
-        better = tile_min < best_d2
-        best_d2 = jnp.where(better, tile_min, best_d2)
-        best_dot = jnp.where(better, tile_dot, best_dot)
-        bdx = jnp.where(better, tile_dx, bdx)
-        bdy = jnp.where(better, tile_dy, bdy)
-        bdz = jnp.where(better, tile_dz, bdz)
-        return best_d2, best_dot, bdx, bdy, bdz
+        def compute_tile(t):
+            tri = tri_ref[:, pl.ds(t * T_TILE, T_TILE)]  # (9, T)
+            d2, dot, (dx, dy, dz) = _tile_d2_dot(q, tri)  # (T, Q)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, Q_TILE), 0) + t * T_TILE
+            d2 = jnp.where(t_ids < n_tri, d2, _BIG)
 
-    def body(t, carry):
-        best_d2 = carry[0]
-        cxt = bounds_ref[0, t]
-        cyt = bounds_ref[1, t]
-        czt = bounds_ref[2, t]
-        rt = bounds_ref[3, t]
-        ddx = qx - cxt
-        ddy = qy - cyt
-        ddz = qz - czt
-        lb = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) - rt  # (1, Q)
-        lb = jnp.maximum(lb, 0.0)
-        prunable = jnp.max(best_d2 - lb * lb) < 0.0  # all queries already closer
-        return jax.lax.cond(prunable, lambda c: c, lambda c: compute_tile(t, c), carry)
+            tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, Q)
+            is_min = d2 <= tile_min
+            pick = jnp.where(is_min, 1.0, 0.0)
+            norm = jnp.maximum(jnp.sum(pick, axis=0, keepdims=True), 1.0)
+            tile_dot = jnp.sum(jnp.where(is_min, dot, 0.0), axis=0, keepdims=True) / norm
+            tile_dx = jnp.sum(jnp.where(is_min, dx, 0.0), axis=0, keepdims=True) / norm
+            tile_dy = jnp.sum(jnp.where(is_min, dy, 0.0), axis=0, keepdims=True) / norm
+            tile_dz = jnp.sum(jnp.where(is_min, dz, 0.0), axis=0, keepdims=True) / norm
 
-    init = (
-        jnp.full((1, Q_TILE), _BIG, jnp.float32),
-        jnp.zeros((1, Q_TILE), jnp.float32),
-        jnp.zeros((1, Q_TILE), jnp.float32),
-        jnp.zeros((1, Q_TILE), jnp.float32),
-        jnp.zeros((1, Q_TILE), jnp.float32),
-    )
-    best_d2, best_dot, bdx, bdy, bdz = jax.lax.fori_loop(0, num_t_tiles, body, init)
+            best_d2 = best_ref[0:1, :]
+            better = tile_min < best_d2
+            best_ref[0:1, :] = jnp.where(better, tile_min, best_d2)
+            best_ref[1:2, :] = jnp.where(better, tile_dot, best_ref[1:2, :])
+            best_ref[2:3, :] = jnp.where(better, tile_dx, best_ref[2:3, :])
+            best_ref[3:4, :] = jnp.where(better, tile_dy, best_ref[3:4, :])
+            best_ref[4:5, :] = jnp.where(better, tile_dz, best_ref[4:5, :])
 
-    dist = jnp.sqrt(jnp.maximum(best_d2, 1e-12))
-    inside = best_dot < 0
-    depth_ref[:, :] = jnp.where(inside, dist, 0.0)
-    scale = jnp.where(inside, 1.0 / dist, 0.0)
-    dir_ref[0:1, :] = bdx * scale
-    dir_ref[1:2, :] = bdy * scale
-    dir_ref[2:3, :] = bdz * scale
+        def body(t, _):
+            cxt = bounds_ref[0, t]
+            cyt = bounds_ref[1, t]
+            czt = bounds_ref[2, t]
+            rt = bounds_ref[3, t]
+            ddx = qx - cxt
+            ddy = qy - cyt
+            ddz = qz - czt
+            lb = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz) - rt  # (1, Q)
+            lb = jnp.maximum(lb, 0.0)
+            # tile may contain some query's argmin only if its lower bound
+            # beats that query's current best distance
+            needed = jnp.max(best_ref[0:1, :] - lb * lb) >= 0.0
+
+            @pl.when(needed)
+            def _():
+                compute_tile(t)
+
+            return 0
+
+        jax.lax.fori_loop(0, num_t_tiles, body, 0)
+
+        best_d2 = best_ref[0:1, :]
+        dist = jnp.sqrt(jnp.maximum(best_d2, 1e-12))
+        inside = best_ref[1:2, :] < 0
+        depth_ref[:, :] = jnp.where(inside, dist, 0.0)
+        scale = jnp.where(inside, 1.0 / dist, 0.0)
+        dir_ref[0:1, :] = best_ref[2:3, :] * scale
+        dir_ref[1:2, :] = best_ref[3:4, :] * scale
+        dir_ref[2:3, :] = best_ref[4:5, :] * scale
+
+    pl.run_scoped(scoped, pltpu.VMEM((5, Q_TILE), jnp.float32))
 
 
 def _round_up(n: int, m: int) -> int:
@@ -242,6 +262,19 @@ def _forward(query: jnp.ndarray, tri_flat: jnp.ndarray):
     )
     bounds = jnp.stack([cx, cy, cz, r], 0)  # (4, n_tiles)
 
+    # per-TRIANGLE centroid + circumradius for the pass-1 upper bound
+    tcx = (tt[0] + tt[3] + tt[6]) / 3.0  # (Fp,)
+    tcy = (tt[1] + tt[4] + tt[7]) / 3.0
+    tcz = (tt[2] + tt[5] + tt[8]) / 3.0
+    tr2 = jnp.maximum(
+        (tt[0] - tcx) ** 2 + (tt[1] - tcy) ** 2 + (tt[2] - tcz) ** 2,
+        jnp.maximum(
+            (tt[3] - tcx) ** 2 + (tt[4] - tcy) ** 2 + (tt[5] - tcz) ** 2,
+            (tt[6] - tcx) ** 2 + (tt[7] - tcy) ** 2 + (tt[8] - tcz) ** 2,
+        ),
+    )
+    cent = jnp.stack([tcx, tcy, tcz, jnp.sqrt(tr2)], 0)  # (4, Fp)
+
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests use interpreter
     depth, dirs = pl.pallas_call(
         _kernel,
@@ -249,6 +282,7 @@ def _forward(query: jnp.ndarray, tri_flat: jnp.ndarray):
         in_specs=[
             pl.BlockSpec((3, Q_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((9, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, n_tiles), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -261,7 +295,7 @@ def _forward(query: jnp.ndarray, tri_flat: jnp.ndarray):
             jax.ShapeDtypeStruct((3, Vp), jnp.float32),
         ],
         interpret=interpret,
-    )(qt, tt, bounds, nt)
+    )(qt, tt, cent, bounds, nt)
     return depth[0, :V], dirs[:, :V].T
 
 
