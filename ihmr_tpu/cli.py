@@ -114,10 +114,18 @@ def cmd_train_baseline(args):
     start_epoch = 1
     if args.continue_train:
         params = ckpt.load_network(args.checkpoints_dir, "baseline", "latest")
+        stats = ckpt.load_network(args.checkpoints_dir, "baseline_stats", "latest")
         info = ckpt.load_info(args.checkpoints_dir, "latest")
         if params is not None:
             state = state.replace(params=params)
+        if stats is not None:
+            state = state.replace(batch_stats=stats)
         if info is not None:
+            # restore optimizer state too (ref baseline_model.py:75-84)
+            if "opt_state" in info:
+                state = state.replace(
+                    opt_state=ckpt.restore_tree_like(state.opt_state, info["opt_state"])
+                )
             start_epoch = int(info["epoch"]) + 1
             print(f"resume from epoch {start_epoch}")
     elif args.pretrain_weights:

@@ -66,6 +66,32 @@ def load_info(ckpt_dir: str, label: str, stage_id: Optional[int] = None) -> Opti
     return _checkpointer().restore(path)
 
 
+def restore_tree_like(target: Any, data: Any) -> Any:
+    """Rebuild ``data`` (as restored by orbax: namedtuples/dataclasses ->
+    dicts, tuples -> lists or {"0": ...} dicts) into the exact pytree
+    structure of ``target`` — needed to resume optax optimizer states."""
+    if target is None:
+        return None
+    if data is None:
+        # orbax collapses leaf-less subtrees (e.g. optax EmptyState) to None
+        if jax.tree_util.tree_leaves(target):
+            raise ValueError("checkpoint missing data for a non-empty subtree")
+        return target
+    if isinstance(target, dict):
+        return {k: restore_tree_like(target[k], data[k]) for k in target}
+    if hasattr(target, "_fields"):  # namedtuple (optax states)
+        if isinstance(data, dict):
+            vals = [restore_tree_like(getattr(target, f), data[f]) for f in target._fields]
+        else:
+            vals = [restore_tree_like(t, d) for t, d in zip(tuple(target), data)]
+        return type(target)(*vals)
+    if isinstance(target, (list, tuple)):
+        if isinstance(data, dict):  # {"0": ..., "1": ...}
+            data = [data[str(i)] for i in range(len(target))]
+        return type(target)(restore_tree_like(t, d) for t, d in zip(target, data))
+    return np.asarray(data).astype(np.asarray(target).dtype).reshape(np.shape(target))
+
+
 # ---------------------------------------------------------------------------
 # torch .pth import
 
