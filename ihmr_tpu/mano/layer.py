@@ -26,9 +26,10 @@ import jax.numpy as jnp
 
 # MANO outputs feed millimeter-scale collision/MPJPE metrics; the TPU default
 # bf16 matmul precision costs ~0.3% relative vertex error, so the decode pins
-# fp32 accumulation explicitly. (Measured: bf16 einsum deviates 3e-3 on a
-# weights-x-identity contraction; fp32 'highest' deviates 2e-7.)
-_PREC = jax.lax.Precision.HIGHEST
+# higher precision explicitly. HIGH = 3-pass bf16 (~1e-6 relative, half the
+# MXU passes of HIGHEST's 6) — measured indistinguishable from fp32 at the
+# metric scale while meaningfully faster inside the refinement scan.
+_PREC = jax.lax.Precision.HIGH
 
 from ihmr_tpu.core.rotations import axis_angle_to_matrix, flip_hand_pose
 from ihmr_tpu.mano.model import FINGERTIP_VERTEX_IDS, MANO_PARENTS, ManoModel

@@ -68,6 +68,12 @@ class OptConfig:
     num_candidates: int = flax.struct.field(pytree_node=False, default=8)
     robustifier: Optional[float] = flax.struct.field(pytree_node=False, default=None)
     collision_backend: str = flax.struct.field(pytree_node=False, default="auto")
+    # In-LOOP collision uses the cheap single-candidate XLA path by default:
+    # the reference's in-loop SDF is itself a coarse 32^3 voxel grid, so a
+    # fast approximate penetration during optimization steps is MORE faithful
+    # to its accuracy profile than the exact kernel, which is reserved for
+    # the final metrics pass (~2x end-to-end throughput).
+    loop_collision_fast: bool = flax.struct.field(pytree_node=False, default=True)
 
 
 ParamDict = Dict[str, jnp.ndarray]
@@ -130,6 +136,7 @@ def compute_losses(
     batch: OptBatch,
     weights: Dict[str, float],
     config: OptConfig,
+    in_loop: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """All OPT losses (ref optimize_model.py:276-330).
 
@@ -171,6 +178,10 @@ def compute_losses(
     )
     total = total + trans_p * weights["trans_loss_weight"]
 
+    if in_loop and config.loop_collision_fast:
+        backend, num_candidates = "xla", 1
+    else:
+        backend, num_candidates = config.collision_backend, config.num_candidates
     coll, coll_batch, coll_origin = collision_loss(
         rv,
         lv,
@@ -178,8 +189,8 @@ def compute_losses(
         faces_l,
         batch.hand_type_array,
         robustifier=config.robustifier,
-        num_candidates=config.num_candidates,
-        backend=config.collision_backend,
+        num_candidates=num_candidates,
+        backend=backend,
     )
     aux["collision_loss"] = coll * weights["collision_loss_weight"]
     aux["collision_loss_batch"] = coll_batch  # unweighted, like the reference
@@ -225,7 +236,7 @@ def run_stage(
     frozen = {k: v for k, v in params.items() if k not in stage.update_params}
 
     def loss_fn(sub: ParamDict):
-        return compute_losses(model, {**frozen, **sub}, batch, weights, config)
+        return compute_losses(model, {**frozen, **sub}, batch, weights, config, in_loop=True)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     tx = _make_optimizer(stage, config.optimizer)
@@ -342,7 +353,7 @@ def run_all_stages_fused(
 
     def grad_fn(p, w):
         return jax.value_and_grad(
-            lambda q: compute_losses(model, q, batch, w, config), has_aux=True
+            lambda q: compute_losses(model, q, batch, w, config, in_loop=True), has_aux=True
         )(p)
 
     def stage_body(params, stage_const):

@@ -132,7 +132,8 @@ class TestRunStage:
         frozen = {k: v for k, v in params.items() if k not in stage.update_params}
 
         def loss_fn(sub):
-            return compute_losses(model, {**frozen, **sub}, batch, weights, cfg)
+            # in_loop=True: match the engine's in-loop collision variant
+            return compute_losses(model, {**frozen, **sub}, batch, weights, cfg, in_loop=True)
 
         tx = optax.adam(stage.lr, b1=0.9, b2=0.999, eps=1e-8)
         state = tx.init(subset)
