@@ -287,6 +287,18 @@ def cmd_visualize(args):
 
 
 def main(argv=None):
+    # persistent XLA compilation cache: repeat CLI invocations skip the
+    # (tens of seconds) cold-start compiles
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir", osp.expanduser("~/.cache/ihmr_jax")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     parser = argparse.ArgumentParser(prog="ihmr_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
