@@ -129,14 +129,16 @@ def penetration_depth(
     # worst-case depth deviation of 2e-4 x hand size.
     qb = query.astype(jnp.bfloat16)
     cb = centroid.astype(jnp.bfloat16)
-    q2 = jnp.sum(qb * qb, axis=-1, keepdims=True)
     c2 = jnp.sum(cb * cb, axis=-1)[None, :]
     qc = qb @ cb.T  # (V, F) matmul on the MXU
-    d2 = (q2 + c2 - 2.0 * qc).astype(jnp.float32)
+    # rank on c^2 - 2 q.c: the per-row q^2 term cannot change the argmin, and
+    # dropping it keeps the ranking matrix in bf16 (half the HBM traffic of a
+    # materialized fp32 d2 — this op is memory-bound)
+    rank = c2 - 2.0 * qc
 
     # K nearest candidate triangles (static K); approx_min_k is the
     # TPU-native partial reduction (no full sort like lax.top_k)
-    _, idx = jax.lax.approx_min_k(d2, num_candidates)  # (V, K)
+    _, idx = jax.lax.approx_min_k(rank, num_candidates)  # (V, K)
     tri_k = tri.reshape(-1, 9)[idx].reshape(idx.shape[0], num_candidates, 3, 3)
 
     # exact refinement on candidates
@@ -168,6 +170,39 @@ def _pair_depths(
     return jnp.concatenate([d_r, d_l], axis=0)
 
 
+def penetration_depth_fast(
+    query: jnp.ndarray,  # (V, 3)
+    mesh_verts: jnp.ndarray,  # (Vm, 3)
+    faces: jnp.ndarray,  # (F, 3)
+) -> jnp.ndarray:
+    """Single-candidate penetration depth for the refinement hot loop.
+
+    Nearest-centroid triangle via the streaming pallas kernel (nothing
+    materialized in HBM), exact point-triangle refinement on that ONE
+    triangle as a tiny epilogue. Accuracy class of the reference's 32^3
+    in-loop grid; the exact kernel serves the final metrics pass.
+    """
+    from ihmr_tpu.ops.pallas_collision import nearest_centroid_pallas
+
+    mesh_verts = jax.lax.stop_gradient(mesh_verts)
+    tri = mesh_verts[faces]  # (F, 3, 3)
+    centroid = jnp.mean(tri, axis=1)
+    idx = nearest_centroid_pallas(jax.lax.stop_gradient(query), centroid)  # (V,)
+    tri_b = tri[idx]  # (V, 3, 3)
+    closest = point_triangle_closest(query, tri_b)  # (V, 3)
+    diff = query - closest
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), _EPS))
+    normal = jnp.cross(tri_b[:, 1] - tri_b[:, 0], tri_b[:, 2] - tri_b[:, 0])
+    inside = jnp.sum(diff * normal, axis=-1) < 0
+    return jnp.where(inside, dist, 0.0)
+
+
+def _pair_depths_fast(right_verts, left_verts, faces_right, faces_left):
+    d_r = penetration_depth_fast(right_verts, left_verts, faces_left)
+    d_l = penetration_depth_fast(left_verts, right_verts, faces_right)
+    return jnp.concatenate([d_r, d_l], axis=0)
+
+
 @partial(jax.jit, static_argnames=("num_candidates", "robustifier", "backend"))
 def collision_loss(
     right_verts: jnp.ndarray,  # (B, 778, 3)
@@ -192,7 +227,19 @@ def collision_loss(
     """
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    if backend == "pallas":
+    if backend == "fast":
+        # hot-loop variant: nearest-centroid pallas kernel on TPU; on other
+        # platforms the single-candidate XLA path (pallas interpret mode would
+        # dominate CPU test time)
+        if jax.devices()[0].platform == "tpu":
+            depths = jax.vmap(
+                lambda r, l: _pair_depths_fast(r, l, faces_right, faces_left)
+            )(right_verts, left_verts)
+        else:
+            depths = jax.vmap(
+                lambda r, l: _pair_depths(r, l, faces_right, faces_left, 1)
+            )(right_verts, left_verts)
+    elif backend == "pallas":
         from ihmr_tpu.ops.pallas_collision import pair_depths_pallas
 
         depths = jax.vmap(

@@ -321,6 +321,88 @@ def _vjp_bwd(res, g):
 penetration_depth_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fast nearest-centroid kernel (the in-loop collision variant).
+#
+# The XLA "fast" path still materializes a (V, F) ranking matrix in HBM —
+# memory-bound at ~8 ms per step. This kernel streams centroid tiles through
+# VMEM and emits only each query's argmin triangle INDEX (~10 VPU ops/pair,
+# nothing materialized); the single-triangle exact refinement happens as a
+# tiny XLA epilogue (gather of V rows).
+
+
+def _nearest_kernel(qt_ref, cent_ref, nt_ref, idx_ref):
+    """qt_ref (3, Q_TILE); cent_ref (4, F_pad) rows cx,cy,cz,|c|^2;
+    nt_ref (1,1) SMEM; idx_ref (1, Q_TILE) f32 argmin triangle index."""
+    n_tri = nt_ref[0, 0]
+    num_t_tiles = cent_ref.shape[1] // T_TILE
+    qx = qt_ref[0:1, :]
+    qy = qt_ref[1:2, :]
+    qz = qt_ref[2:3, :]
+
+    def body(t, carry):
+        best_rank, best_idx = carry
+        sl = pl.ds(t * T_TILE, T_TILE)
+        cx = cent_ref[0, sl][:, None]  # (T, 1)
+        cy = cent_ref[1, sl][:, None]
+        cz = cent_ref[2, sl][:, None]
+        c2 = cent_ref[3, sl][:, None]
+        # rank = |c|^2 - 2 q.c  (the per-query |q|^2 term is rank-invariant)
+        rank = c2 - 2.0 * (cx * qx + cy * qy + cz * qz)  # (T, Q)
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, Q_TILE), 0) + t * T_TILE
+        rank = jnp.where(t_ids < n_tri, rank, _BIG)
+
+        tile_min = jnp.min(rank, axis=0, keepdims=True)  # (1, Q)
+        is_min = rank <= tile_min
+        pick = jnp.where(is_min, 1.0, 0.0)
+        norm = jnp.maximum(jnp.sum(pick, axis=0, keepdims=True), 1.0)
+        tile_idx = (
+            jnp.sum(jnp.where(is_min, t_ids.astype(jnp.float32), 0.0), axis=0, keepdims=True)
+            / norm
+        )
+        better = tile_min < best_rank
+        best_rank = jnp.where(better, tile_min, best_rank)
+        best_idx = jnp.where(better, tile_idx, best_idx)
+        return best_rank, best_idx
+
+    init = (
+        jnp.full((1, Q_TILE), _BIG, jnp.float32),
+        jnp.zeros((1, Q_TILE), jnp.float32),
+    )
+    _, best_idx = jax.lax.fori_loop(0, num_t_tiles, body, init)
+    idx_ref[:, :] = best_idx
+
+
+def nearest_centroid_pallas(query: jnp.ndarray, centroid: jnp.ndarray) -> jnp.ndarray:
+    """query (V, 3), centroid (F, 3) -> (V,) int32 nearest-centroid index."""
+    V = query.shape[0]
+    F = centroid.shape[0]
+    Vp = _round_up(V, Q_TILE)
+    Fp = _round_up(F, T_TILE)
+    qT = query.T.astype(jnp.float32)
+    qt = jnp.concatenate([qT, jnp.broadcast_to(qT[:, :1], (3, Vp - V))], axis=1)
+    cT = centroid.T.astype(jnp.float32)
+    cT = jnp.concatenate([cT, jnp.broadcast_to(cT[:, :1], (3, Fp - F))], axis=1)
+    c2 = jnp.sum(cT * cT, axis=0, keepdims=True)  # (1, Fp)
+    cent = jnp.concatenate([cT, c2], axis=0)  # (4, Fp)
+    nt = jnp.asarray([[F]], jnp.int32)
+
+    interpret = jax.devices()[0].platform != "tpu"
+    idx = pl.pallas_call(
+        _nearest_kernel,
+        grid=(Vp // Q_TILE,),
+        in_specs=[
+            pl.BlockSpec((3, Q_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        interpret=interpret,
+    )(qt, cent, nt)
+    return idx[0, :V].astype(jnp.int32)
+
+
 def pair_depths_pallas(
     right_verts: jnp.ndarray,  # (778, 3)
     left_verts: jnp.ndarray,  # (778, 3)

@@ -179,6 +179,9 @@ def compute_losses(
     total = total + trans_p * weights["trans_loss_weight"]
 
     if in_loop and config.loop_collision_fast:
+        # measured on v5e: the XLA single-candidate path (8.0 ms/step) beats
+        # both the exact pallas kernel (32 ms) and a streaming nearest-
+        # centroid pallas kernel (12.7 ms — vmapped small-kernel overhead)
         backend, num_candidates = "xla", 1
     else:
         backend, num_candidates = config.collision_backend, config.num_candidates
