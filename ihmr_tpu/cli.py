@@ -76,6 +76,10 @@ def cmd_train_baseline(args):
     from ihmr_tpu.train import checkpoint as ckpt
     from ihmr_tpu.train.loops import train_baseline_loop
 
+    import dataclasses as _dc
+
+    from ihmr_tpu.data import ComposeDataset
+
     cfg = DataConfig(
         data_root=args.data_root,
         param_root=args.param_root,
@@ -92,8 +96,19 @@ def cmd_train_baseline(args):
         use_motion_blur=args.use_motion_blur,
         blur_kernel_dir=args.blur_kernel_dir,
     )
-    dataset = BaselineDataset(cfg)
-    dataset.load_data()
+    # comma list of annotation pkls -> composed multi-dataset training
+    # (ref compose_dataset.py:42-48 --train_datasets)
+    anno_paths = [p for p in args.anno_path.split(",") if p]
+    if len(anno_paths) > 1:
+        members = []
+        for ap in anno_paths:
+            ds = BaselineDataset(_dc.replace(cfg, anno_path=ap))
+            ds.load_data()
+            members.append(ds)
+        dataset = ComposeDataset(members)
+    else:
+        dataset = BaselineDataset(cfg)
+        dataset.load_data()
     loader = BatchLoader(
         dataset, args.batchSize, rank=args.rank, world_size=args.world_size,
         shuffle=True, drop_last=True,

@@ -332,45 +332,58 @@ penetration_depth_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _nearest_kernel(qt_ref, cent_ref, nt_ref, idx_ref):
-    """qt_ref (3, Q_TILE); cent_ref (4, F_pad) rows cx,cy,cz,|c|^2;
-    nt_ref (1,1) SMEM; idx_ref (1, Q_TILE) f32 argmin triangle index."""
+    """One grid instance = one SAMPLE: loops over query tiles internally
+    (per-instance Mosaic overhead dominates tiny kernels — measured ~10 us
+    per instance — so fewer, fatter instances win).
+
+    qt_ref (3, V_pad); cent_ref (4, F_pad) rows cx,cy,cz,|c|^2;
+    nt_ref (1,1) SMEM; idx_ref (1, V_pad) f32 argmin triangle index."""
     n_tri = nt_ref[0, 0]
     num_t_tiles = cent_ref.shape[1] // T_TILE
-    qx = qt_ref[0:1, :]
-    qy = qt_ref[1:2, :]
-    qz = qt_ref[2:3, :]
+    num_q_tiles = qt_ref.shape[1] // Q_TILE
 
-    def body(t, carry):
-        best_rank, best_idx = carry
-        sl = pl.ds(t * T_TILE, T_TILE)
-        cx = cent_ref[0, sl][:, None]  # (T, 1)
-        cy = cent_ref[1, sl][:, None]
-        cz = cent_ref[2, sl][:, None]
-        c2 = cent_ref[3, sl][:, None]
-        # rank = |c|^2 - 2 q.c  (the per-query |q|^2 term is rank-invariant)
-        rank = c2 - 2.0 * (cx * qx + cy * qy + cz * qz)  # (T, Q)
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, Q_TILE), 0) + t * T_TILE
-        rank = jnp.where(t_ids < n_tri, rank, _BIG)
+    def q_body(i, _):
+        qsl = pl.ds(i * Q_TILE, Q_TILE)
+        qx = qt_ref[0:1, qsl]
+        qy = qt_ref[1:2, qsl]
+        qz = qt_ref[2:3, qsl]
 
-        tile_min = jnp.min(rank, axis=0, keepdims=True)  # (1, Q)
-        is_min = rank <= tile_min
-        pick = jnp.where(is_min, 1.0, 0.0)
-        norm = jnp.maximum(jnp.sum(pick, axis=0, keepdims=True), 1.0)
-        tile_idx = (
-            jnp.sum(jnp.where(is_min, t_ids.astype(jnp.float32), 0.0), axis=0, keepdims=True)
-            / norm
+        def body(t, carry):
+            best_rank, best_idx = carry
+            sl = pl.ds(t * T_TILE, T_TILE)
+            cx = cent_ref[0, sl][:, None]  # (T, 1)
+            cy = cent_ref[1, sl][:, None]
+            cz = cent_ref[2, sl][:, None]
+            c2 = cent_ref[3, sl][:, None]
+            # rank = |c|^2 - 2 q.c  (per-query |q|^2 is rank-invariant)
+            rank = c2 - 2.0 * (cx * qx + cy * qy + cz * qz)  # (T, Q)
+            t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, Q_TILE), 0) + t * T_TILE
+            rank = jnp.where(t_ids < n_tri, rank, _BIG)
+
+            tile_min = jnp.min(rank, axis=0, keepdims=True)  # (1, Q)
+            is_min = rank <= tile_min
+            pick = jnp.where(is_min, 1.0, 0.0)
+            norm = jnp.maximum(jnp.sum(pick, axis=0, keepdims=True), 1.0)
+            tile_idx = (
+                jnp.sum(
+                    jnp.where(is_min, t_ids.astype(jnp.float32), 0.0), axis=0, keepdims=True
+                )
+                / norm
+            )
+            better = tile_min < best_rank
+            best_rank = jnp.where(better, tile_min, best_rank)
+            best_idx = jnp.where(better, tile_idx, best_idx)
+            return best_rank, best_idx
+
+        init = (
+            jnp.full((1, Q_TILE), _BIG, jnp.float32),
+            jnp.zeros((1, Q_TILE), jnp.float32),
         )
-        better = tile_min < best_rank
-        best_rank = jnp.where(better, tile_min, best_rank)
-        best_idx = jnp.where(better, tile_idx, best_idx)
-        return best_rank, best_idx
+        _, best_idx = jax.lax.fori_loop(0, num_t_tiles, body, init)
+        idx_ref[0:1, qsl] = best_idx
+        return 0
 
-    init = (
-        jnp.full((1, Q_TILE), _BIG, jnp.float32),
-        jnp.zeros((1, Q_TILE), jnp.float32),
-    )
-    _, best_idx = jax.lax.fori_loop(0, num_t_tiles, body, init)
-    idx_ref[:, :] = best_idx
+    jax.lax.fori_loop(0, num_q_tiles, q_body, 0)
 
 
 def nearest_centroid_pallas(query: jnp.ndarray, centroid: jnp.ndarray) -> jnp.ndarray:
@@ -390,13 +403,13 @@ def nearest_centroid_pallas(query: jnp.ndarray, centroid: jnp.ndarray) -> jnp.nd
     interpret = jax.devices()[0].platform != "tpu"
     idx = pl.pallas_call(
         _nearest_kernel,
-        grid=(Vp // Q_TILE,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((3, Q_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, Fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, Q_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, Vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Vp), jnp.float32),
         interpret=interpret,
     )(qt, cent, nt)
