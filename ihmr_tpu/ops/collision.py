@@ -137,8 +137,13 @@ def penetration_depth(
     rank = c2 - 2.0 * qc
 
     # K nearest candidate triangles (static K); approx_min_k is the
-    # TPU-native partial reduction (no full sort like lax.top_k)
-    _, idx = jax.lax.approx_min_k(rank, num_candidates)  # (V, K)
+    # TPU-native partial reduction (no full sort like lax.top_k). For K=1 a
+    # plain argmin fuses into the matmul consumer (no (V, F) materialization)
+    # and measures ~2x faster still.
+    if num_candidates == 1:
+        idx = jnp.argmin(rank, axis=-1)[:, None]  # (V, 1)
+    else:
+        _, idx = jax.lax.approx_min_k(rank, num_candidates)  # (V, K)
     tri_k = tri.reshape(-1, 9)[idx].reshape(idx.shape[0], num_candidates, 3, 3)
 
     # exact refinement on candidates
