@@ -151,7 +151,13 @@ def load_blur_kernels(blur_kernel_dir: str) -> list:
     if blur_kernel_dir and osp.isdir(blur_kernel_dir):
         for name in sorted(os.listdir(blur_kernel_dir)):
             if name.endswith(".mat"):
-                kernels.append(loadmat(osp.join(blur_kernel_dir, name))["PSFs"][0][0])
+                raw = loadmat(osp.join(blur_kernel_dir, name))["PSFs"][0][0]
+                # MATLAB cell arrays round-trip as object arrays; coerce
+                while isinstance(raw, np.ndarray) and raw.dtype == object and raw.size == 1:
+                    raw = raw.item(0)
+                if isinstance(raw, np.ndarray) and raw.dtype == object:
+                    raw = np.asarray(raw.tolist(), np.float32)
+                kernels.append(np.asarray(raw, np.float32))
     return kernels
 
 

@@ -203,7 +203,28 @@ mlp_default: Tuple[Stage, ...] = (
 # default MLP loss weights (ref mlp_model.py:219-231)
 MLP_DEFAULT_LOSS_WEIGHTS = _mlp_weights(shape_residual_loss=1.0)
 
+# opt_default plus the camera stage the reference keeps disabled
+# (ref src/strategies/opt_default.py:81-97) — opt-in via --strategy.
+opt_with_cam: Tuple[Stage, ...] = opt_default + (
+    Stage(
+        update_params=("cam",),
+        loss_weights=_w(
+            joints_2d_loss=10.0,
+            joints_3d_loss=1000.0,
+            trans_loss_weight=100.0,
+            shape_reg_loss_weight=0.01,
+            collision_loss_weight=1.0,
+            finger_reg_loss_weight=0.0,
+        ),
+        lr=1e-2,
+        epoch=100,
+        filter_loss=(("joints_2d_loss_p", "+0"),),
+        select_loss="joints_2d_loss_p",
+    ),
+)
+
 strategies: Dict[str, Tuple[Stage, ...]] = {
     "opt_default": opt_default,
+    "opt_with_cam": opt_with_cam,
     "mlp_default": mlp_default,
 }

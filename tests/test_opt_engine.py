@@ -36,7 +36,7 @@ def _short_strategy(epochs=12):
 
 class TestSchedule:
     def test_registry(self):
-        assert set(strategies) == {"opt_default", "mlp_default"}
+        assert set(strategies) == {"opt_default", "opt_with_cam", "mlp_default"}
         assert len(strategies["opt_default"]) == 4
         assert len(strategies["mlp_default"]) == 6
 
