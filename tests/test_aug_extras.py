@@ -16,7 +16,9 @@ class TestMotionBlur:
         # ref data_utils.py:73-79)
         k = np.zeros((7, 7))
         k[3, :] = 1.0 / 7  # horizontal blur
-        scipy.io.savemat(str(tmp_path / "psf1.mat"), {"PSFs": np.array([[k]], dtype=object)})
+        cell = np.empty((1, 1), dtype=object)  # a true MATLAB-style cell array
+        cell[0, 0] = k
+        scipy.io.savemat(str(tmp_path / "psf1.mat"), {"PSFs": cell})
         kernels = pp.load_blur_kernels(str(tmp_path))
         assert len(kernels) == 1
         np.testing.assert_allclose(kernels[0], k)
