@@ -5,14 +5,17 @@ ref src/models/loss_utils.py:13,34-38,174-193). The reference voxelizes each
 hand into a 32^3 signed-distance grid on GPU and trilinearly samples the other
 hand's vertices against it — an approximation chosen for GPU rasterization.
 
-TPU-first redesign (exact, not grid-sampled):
-  1. vertex->triangle-centroid squared distances via one MXU matmul
-     (||q||^2 + ||c||^2 - 2 q.c), shape (778, 1538) per direction;
-  2. top-K nearest candidate triangles per query vertex (static K);
-  3. exact point-triangle closest-point refinement (branchless Ericson
-     algorithm, VPU) over the K candidates only;
-  4. sign from the winning triangle's outward face normal: a vertex is
-     penetrating iff dot(q - closest, n) < 0.
+TPU-first redesign — three interchangeable backends behind ``collision_loss``:
+  * 'pallas' (default on TPU): the fused EXACT kernel in
+    ihmr_tpu.ops.pallas_collision (streams triangle tiles through VMEM,
+    nothing materialized, 1e-9 agreement with brute force) — the
+    metrics/eval path;
+  * 'xla': centroid-ranking matmul (bf16, MXU) + approx_min_k candidates +
+    exact point-triangle refinement (fp32, VPU; branchless Ericson) with
+    sign from the winning triangle's outward normal — the portable path;
+  * num_candidates=1 (the refinement HOT-LOOP variant): single
+    nearest-centroid candidate — the reference's own in-loop phi is a coarse
+    32^3 grid, so this matches its accuracy class at ~4x the speed.
 
 Everything is static-shaped, differentiable, and ``vmap``s over the batch, so
 it fuses inside the refinement ``lax.scan``.
