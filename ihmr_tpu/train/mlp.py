@@ -45,9 +45,10 @@ def _params_from_cache(batch: MLPBatch, cached_params: Dict[str, np.ndarray]):
 
 def make_stage_train_step(model: ManoModel, stage: Stage, subnet: SubNetwork, config: OptConfig):
     """Jitted: (subnet_params, opt_state, batch, cached prev params) ->
-    (new subnet_params, new opt_state, metrics)."""
+    (new subnet_params, new opt_state, metrics). LR is injected so the
+    per-epoch cosine decay (ref mlp_model.py:854-866) can adjust it."""
     weights = stage.weights
-    tx = optax.adam(stage.lr)
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=stage.lr)
 
     @jax.jit
     def step(subnet_params, opt_state, batch: MLPBatch, prev_params):
@@ -132,9 +133,14 @@ def train_mlp_stages(
     rng_key: Optional[jax.Array] = None,
     is_main: bool = True,
     sync_fn=None,
+    lr_total_epoch: int = 100,
 ) -> List:
     """Stage-wise training (ref train_mlp.py:68-140). Returns the list of
-    trained SubNetwork param pytrees (one per stage)."""
+    trained SubNetwork param pytrees (one per stage).
+
+    ``lr_total_epoch``: the cosine-decay denominator — the reference uses
+    the GLOBAL --total_epoch (default 100) even inside 2-5-epoch stages
+    (ref mlp_model.py:859-861), making the decay nearly flat; reproduced."""
     rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
     stage_params_list = []
 
@@ -146,6 +152,9 @@ def train_mlp_stages(
         opt_state = tx.init(subnet_params)
 
         for epoch in range(1, stage.epoch + 1):
+            if stage.lr_decay_type == "cosine":
+                lr = 0.5 * (1.0 + np.cos(np.pi * epoch / lr_total_epoch)) * stage.lr
+                opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             loader.set_epoch(epoch)
             for raw in loader:
                 batch = to_mlp_batch(raw)
