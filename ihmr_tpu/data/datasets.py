@@ -282,11 +282,25 @@ class PredictionDataset(BaselineDataset):
         init_j2 = _joints_with_validity(single["pred_joints_2d"], self.config.num_joints, 3)
         init_j3 = _joints_with_validity(single["pred_joints_3d"], self.config.num_joints, 4)
 
-        # letterbox both GT and init 2D joints with the image ratio
+        # letterbox both GT and init 2D joints with the image ratio; the
+        # native C++ path fuses resize+normalize (no flips on this path)
         if img is not None:
-            img_proc, joints_2d = pp.padding_and_resize(img, joints_2d, self.config.input_size)
-            _, init_j2 = pp.padding_and_resize(img, init_j2, self.config.input_size)
-            img_out = pp.normalize_image(img_proc)
+            img_out = None
+            try:
+                from ihmr_tpu import native
+
+                if native.available():
+                    img_out, ratio = native.letterbox_normalize(img, self.config.input_size)
+                    joints_2d = joints_2d.copy()
+                    joints_2d[:, :2] *= ratio
+                    init_j2 = init_j2.copy()
+                    init_j2[:, :2] *= ratio
+            except Exception:
+                img_out = None
+            if img_out is None:
+                img_proc, joints_2d = pp.padding_and_resize(img, joints_2d, self.config.input_size)
+                _, init_j2 = pp.padding_and_resize(img, init_j2, self.config.input_size)
+                img_out = pp.normalize_image(img_proc)
         else:
             img_out = None
         joints_2d = pp.normalize_joints_2d(joints_2d, self.config.input_size)
