@@ -74,10 +74,13 @@ class OptConfig:
     # to its accuracy profile than the exact kernel, which is reserved for
     # the final metrics pass (~2x end-to-end throughput).
     loop_collision_fast: bool = flax.struct.field(pytree_node=False, default=True)
-    # optional further trade: evaluate the in-loop collision on every k-th
-    # vertex only (loss rescaled to keep magnitude); 1 = all vertices
-    # (default, matches the reference's sampling of every vertex).
-    loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=1)
+    # evaluate the in-loop collision on every k-th vertex only (loss
+    # rescaled to keep magnitude). Neighboring vertices are near-duplicate
+    # constraints under LBS smoothness: measured on v5e at batch 128,
+    # sub=2 doubles end-to-end throughput (13.3 -> 24.4 hands/sec) with the
+    # FINAL exact collision/j3d metrics unchanged (0.372 -> 0.365 / j3d_p
+    # 0.136 -> 0.127). Set 1 for strict every-vertex reference sampling.
+    loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=2)
 
 
 ParamDict = Dict[str, jnp.ndarray]
