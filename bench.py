@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 VS_BASELINE_REF = 3.5  # estimated reference hands/sec on one A100 (see docstring)
 BATCH = int(os.environ.get("IHMR_BENCH_BATCH", "128"))
+SUBSAMPLE = int(os.environ.get("IHMR_BENCH_SUBSAMPLE", "2"))
 REPEATS = int(os.environ.get("IHMR_BENCH_REPEATS", "3"))
 
 
@@ -72,7 +73,7 @@ def main():
     mano = jax.device_put(mano, device)
     params = jax.device_put(params, device)
     opt_batch = jax.device_put(opt_batch, device)
-    config = OptConfig(save_mid_freq=10)
+    config = OptConfig(save_mid_freq=10, loop_collision_subsample=SUBSAMPLE)
 
     t0 = time.perf_counter()
     jax.block_until_ready(infer(variables, images))

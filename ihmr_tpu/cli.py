@@ -214,7 +214,11 @@ def cmd_optimize(args):
     dataset.load_data()
     loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
     mano_right, mano_left, _, _ = _load_mano(args)
-    config = OptConfig(optimizer=args.optimizer, save_mid_freq=args.save_mid_freq)
+    config = OptConfig(
+        optimizer=args.optimizer,
+        save_mid_freq=args.save_mid_freq,
+        loop_collision_subsample=args.loop_collision_subsample,
+    )
     strategy = strategies[args.strategy]
     if args.stage_epochs is not None:
         strategy = tuple(dataclasses.replace(s, epoch=args.stage_epochs) for s in strategy)
@@ -351,6 +355,8 @@ def main(argv=None):
     p.add_argument("--save_mid_freq", type=int, default=10)
     p.add_argument("--stage_epochs", type=int, default=None,
                    help="override every stage's step count (fast runs/smoke tests)")
+    p.add_argument("--loop_collision_subsample", type=int, default=2,
+                   help="in-loop collision vertex stride (1 = every vertex)")
     p.set_defaults(func=cmd_optimize)
 
     p = sub.add_parser("train-mlp")
