@@ -225,6 +225,7 @@ def cmd_optimize(args):
     evaluator = optimize_loop(
         mano_right, loader, dataset, strategy, config,
         left_faces=mano_left.faces, is_main=args.rank <= 0,
+        obj_dump_dir=args.obj_dump_dir,
     )
     evaluator.remove_redunc()
     out_dir = osp.join("evaluate_results", "optimize")
@@ -357,6 +358,8 @@ def main(argv=None):
                    help="override every stage's step count (fast runs/smoke tests)")
     p.add_argument("--loop_collision_subsample", type=int, default=2,
                    help="in-loop collision vertex stride (1 = every vertex)")
+    p.add_argument("--obj_dump_dir", default=None,
+                   help="dump each batch's first refined sample as .obj here")
     p.set_defaults(func=cmd_optimize)
 
     p = sub.add_parser("train-mlp")

@@ -220,8 +220,12 @@ def optimize_loop(
     config: OptConfig,
     left_faces: Optional[np.ndarray] = None,
     is_main: bool = True,
+    obj_dump_dir: Optional[str] = None,
 ) -> Evaluator:
-    """The IHMR-OPT runner (ref src/optimize.py:52-102)."""
+    """The IHMR-OPT runner (ref src/optimize.py:52-102).
+
+    ``obj_dump_dir``: when set, the first sample of each batch is dumped as a
+    two-hand .obj after refinement (ref src/utils/opt_utils.py:45-54)."""
     evaluator = Evaluator(
         dataset.data_list,
         image_root=getattr(dataset, "image_root", ""),
@@ -239,6 +243,20 @@ def optimize_loop(
         results = {k: np.asarray(v) for k, v in results.items()}
         results["do_flip"] = np.zeros(len(raw["index"]), np.int32)
         evaluator.update(np.asarray(raw["index"]), results)
+        if obj_dump_dir is not None and is_main:
+            from ihmr_tpu.utils import io_utils
+
+            rv0 = results["pred_right_hand_verts"][0]
+            lv0 = results["pred_left_hand_verts"][0]
+            faces_r = np.asarray(mano_right.faces)
+            faces_l = np.asarray(evaluator.left_faces)
+            verts = np.concatenate([rv0, lv0], axis=0)
+            faces = np.concatenate([faces_r, faces_l + rv0.shape[0]], axis=0)
+            io_utils.save_mesh_to_obj(
+                io_utils.osp.join(obj_dump_dir, f"iter_{time_stat.iter_count:04d}.obj"),
+                verts,
+                faces,
+            )
         time_stat.opt_iter_end()
         if is_main:
             time_stat.print_stat()

@@ -83,10 +83,17 @@ def test_optimize_loop(corpus, mano, capsys):
     ds.load_data()
     loader = BatchLoader(ds, 3, prefetch=0)
     strategy = tuple(dataclasses.replace(s, epoch=2) for s in opt_default)
+    import tempfile
+
+    dump_dir = tempfile.mkdtemp()
     evaluator = optimize_loop(
         mano_right, loader, ds, strategy, OptConfig(save_mid_freq=1, num_candidates=4),
         left_faces=mano_left.faces,
+        obj_dump_dir=dump_dir,
     )
+    import glob
+
+    assert len(glob.glob(dump_dir + "/*.obj")) == len(loader)
     evaluator.remove_redunc()
     assert len(evaluator.pred_results) == 6
     assert np.isfinite(evaluator.metric_dict()["collision_ave"])
