@@ -1,0 +1,53 @@
+"""Quality regression guard: the OPT refinement must SUBSTANTIALLY improve
+joint-consistency and collision from a noisy init. On TPU with the full
+4-stage x 301-step schedule the improvement is ~5x on both (see
+docs/PERFORMANCE.md); this CPU guard runs a short 3-stage x 50-step schedule
+on two synthetic scenarios and asserts conservative floors:
+
+  - seed 1 (collision-free init): joint self-consistency at least halves
+  - seed 5 (heavy penetration init): exact collision drops >=50%, joints
+    don't regress
+
+Both scenarios share one jitted program (same shapes/strategy)."""
+
+import dataclasses
+
+import numpy as np
+
+from ihmr_tpu.data.synthetic import make_opt_inputs
+from ihmr_tpu.mano import synthetic_mano_model
+from ihmr_tpu.refine import OptConfig, opt_default, optimize_batch
+from ihmr_tpu.refine.opt_engine import compute_losses
+from ihmr_tpu.refine.schedule import OPT_DEFAULT_LOSS_WEIGHTS
+
+
+def _refine(model, seed):
+    params, batch = make_opt_inputs(model, batch=2, seed=seed, noise=0.2)
+    cfg = OptConfig(save_mid_freq=10, num_candidates=4)
+    strategy = tuple(dataclasses.replace(s, epoch=50) for s in opt_default[:3])
+    w = dict(OPT_DEFAULT_LOSS_WEIGHTS)
+    _, aux0 = compute_losses(model, params, batch, w, cfg)
+    out, _res = optimize_batch(model, params, batch, strategy, cfg)
+    _, aux1 = compute_losses(model, out, batch, w, cfg)
+
+    def m(aux, k):
+        return float(np.mean(np.asarray(aux[k + "_batch"])))
+
+    return (
+        m(aux0, "joints_3d_loss_p"), m(aux1, "joints_3d_loss_p"),
+        m(aux0, "collision_loss"), m(aux1, "collision_loss"),
+    )
+
+
+def test_refinement_substantially_improves():
+    model = synthetic_mano_model()
+
+    # scenario A: collision-free, joint-noise-dominated
+    j0, j1, _, _ = _refine(model, seed=1)
+    assert j1 < 0.5 * j0, (j0, j1)
+
+    # scenario B: heavy initial interpenetration
+    j0, j1, c0, c1 = _refine(model, seed=5)
+    assert c0 > 1.0, f"fixture drifted: expected colliding init, got {c0}"
+    assert c1 < 0.5 * c0, (c0, c1)
+    assert j1 <= j0 * 1.05, (j0, j1)
