@@ -218,6 +218,7 @@ def cmd_optimize(args):
         optimizer=args.optimizer,
         save_mid_freq=args.save_mid_freq,
         loop_collision_subsample=args.loop_collision_subsample,
+        loop_collision_face_subsample=args.loop_collision_face_subsample,
     )
     strategy = strategies[args.strategy]
     if args.stage_epochs is not None:
@@ -358,6 +359,10 @@ def main(argv=None):
                    help="override every stage's step count (fast runs/smoke tests)")
     p.add_argument("--loop_collision_subsample", type=int, default=2,
                    help="in-loop collision vertex stride (1 = every vertex)")
+    p.add_argument("--loop_collision_face_subsample", type=int, default=1,
+                   help="in-loop collision target-face stride (Morton-sorted "
+                        "faces, so >1 is a uniform coarse cover; final "
+                        "metrics always use every face)")
     p.add_argument("--obj_dump_dir", default=None,
                    help="dump each batch's first refined sample as .obj here")
     p.set_defaults(func=cmd_optimize)

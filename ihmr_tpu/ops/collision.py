@@ -144,20 +144,31 @@ def penetration_depth(
     # plain argmin fuses into the matmul consumer (no (V, F) materialization)
     # and measures ~2x faster still.
     if num_candidates == 1:
-        idx = jnp.argmin(rank, axis=-1)[:, None]  # (V, 1)
+        # K=1 hot-loop path: no inner argmin/take_along at all — profiled on
+        # v5e, the K-general epilogue lowered the (V, 1) identity selects to
+        # real gather fusions (~480+450+160 us each, per direction, per step:
+        # the bulk of the in-loop collision cost; scripts/profile_step.py).
+        # Only the one true gather of the winning triangle remains.
+        idx = jnp.argmin(rank, axis=-1)  # (V,)
+        tri_best = tri.reshape(-1, 9)[idx].reshape(-1, 3, 3)  # (V, 3, 3)
+        closest_best = point_triangle_closest(query, tri_best)  # (V, 3)
+        diff = query - closest_best
+        dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), _EPS))
     else:
         _, idx = jax.lax.approx_min_k(rank, num_candidates)  # (V, K)
-    tri_k = tri.reshape(-1, 9)[idx].reshape(idx.shape[0], num_candidates, 3, 3)
+        tri_k = tri.reshape(-1, 9)[idx].reshape(idx.shape[0], num_candidates, 3, 3)
 
-    # exact refinement on candidates
-    closest = point_triangle_closest(query[:, None, :], tri_k)  # (V, K, 3)
-    diff = query[:, None, :] - closest
-    dist2 = jnp.sum(diff * diff, axis=-1)  # (V, K)
-    best = jnp.argmin(dist2, axis=-1)  # (V,)
+        # exact refinement on candidates
+        closest = point_triangle_closest(query[:, None, :], tri_k)  # (V, K, 3)
+        diff = query[:, None, :] - closest
+        dist2 = jnp.sum(diff * diff, axis=-1)  # (V, K)
+        best = jnp.argmin(dist2, axis=-1)  # (V,)
 
-    tri_best = jnp.take_along_axis(tri_k, best[:, None, None, None], axis=1)[:, 0]  # (V,3,3)
-    closest_best = jnp.take_along_axis(closest, best[:, None, None], axis=1)[:, 0]  # (V,3)
-    dist = jnp.sqrt(jnp.maximum(jnp.take_along_axis(dist2, best[:, None], axis=1)[:, 0], _EPS))
+        tri_best = jnp.take_along_axis(tri_k, best[:, None, None, None], axis=1)[:, 0]  # (V,3,3)
+        closest_best = jnp.take_along_axis(closest, best[:, None, None], axis=1)[:, 0]  # (V,3)
+        dist = jnp.sqrt(
+            jnp.maximum(jnp.take_along_axis(dist2, best[:, None], axis=1)[:, 0], _EPS)
+        )
 
     normal = jnp.cross(tri_best[:, 1] - tri_best[:, 0], tri_best[:, 2] - tri_best[:, 0])
     inside = jnp.sum((query - closest_best) * normal, axis=-1) < 0

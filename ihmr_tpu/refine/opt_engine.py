@@ -81,6 +81,15 @@ class OptConfig:
     # FINAL exact collision/j3d metrics unchanged (0.372 -> 0.365 / j3d_p
     # 0.136 -> 0.127). Set 1 for strict every-vertex reference sampling.
     loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=2)
+    # evaluate the in-loop collision against every k-th FACE of the target
+    # mesh. Faces are Morton-sorted at load (mano/loader.py), so a strided
+    # subset is a spatially uniform coarse cover of the surface — the nearest
+    # face found is slightly farther, but the sign test / gradient direction
+    # are unchanged on the smooth hand surface. The (V, F) centroid-ranking
+    # product is the memory-bound core of the in-loop step (profiled 84% of
+    # the 4.5 ms fused step at batch 128, scripts/profile_step.py), and its
+    # cost is linear in F. Final metrics always use the full exact kernel.
+    loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=1)
 
 
 ParamDict = Dict[str, jnp.ndarray]
@@ -193,11 +202,12 @@ def compute_losses(
     else:
         backend, num_candidates = config.collision_backend, config.num_candidates
     sub = config.loop_collision_subsample if in_loop else 1
+    fsub = config.loop_collision_face_subsample if in_loop else 1
     coll, coll_batch, coll_origin = collision_loss(
         rv[:, ::sub] if sub > 1 else rv,
         lv[:, ::sub] if sub > 1 else lv,
-        model.faces,
-        faces_l,
+        model.faces[::fsub] if fsub > 1 else model.faces,
+        faces_l[::fsub] if fsub > 1 else faces_l,
         batch.hand_type_array,
         robustifier=config.robustifier,
         num_candidates=num_candidates,
