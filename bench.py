@@ -116,7 +116,7 @@ def main():
         log(
             f"streaming: {frames} frames x {BATCH} streams in {dt:.2f}s -> "
             f"{frames * BATCH / dt:.1f} tracked hands/sec "
-            f"({frames / dt * 1000:.0f} ms/frame-batch)"
+            f"({dt / frames * 1000:.0f} ms/frame-batch)"
         )
 
     print(

@@ -359,7 +359,7 @@ def main(argv=None):
                    help="override every stage's step count (fast runs/smoke tests)")
     p.add_argument("--loop_collision_subsample", type=int, default=2,
                    help="in-loop collision vertex stride (1 = every vertex)")
-    p.add_argument("--loop_collision_face_subsample", type=int, default=1,
+    p.add_argument("--loop_collision_face_subsample", type=int, default=2,
                    help="in-loop collision target-face stride (Morton-sorted "
                         "faces, so >1 is a uniform coarse cover; final "
                         "metrics always use every face)")

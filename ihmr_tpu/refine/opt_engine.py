@@ -89,7 +89,11 @@ class OptConfig:
     # product is the memory-bound core of the in-loop step (profiled 84% of
     # the 4.5 ms fused step at batch 128, scripts/profile_step.py), and its
     # cost is linear in F. Final metrics always use the full exact kernel.
-    loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=1)
+    # 4-seed study (batch 64, full opt_default, FINAL exact metrics): mean
+    # collision / j3d_p of 0.142/0.106 (fsub=1), 0.147/0.107 (fsub=2),
+    # 0.141/0.109 (fsub=4) — indistinguishable; default ships at 2
+    # (1.69 -> 1.10 ms/step). Set 1 for strict full-face in-loop sampling.
+    loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=2)
 
 
 ParamDict = Dict[str, jnp.ndarray]

@@ -184,11 +184,16 @@ class TestFusedEngine:
 
         params, batch = inputs
         strategy = _short_strategy(epochs=10)
-        # subsample=1: with sparser (subsampled) collision gradients, the
-        # graph-layout-level float differences between optax-subset and
-        # masked-full-dict Adam amplify chaotically over tens of steps;
-        # at every-vertex sampling the two engines track to <2e-5.
-        cfg = OptConfig(save_mid_freq=2, loop_collision_subsample=1)
+        # subsample=1 (verts AND faces): with sparser (subsampled) collision
+        # gradients, the graph-layout-level float differences between
+        # optax-subset and masked-full-dict Adam amplify chaotically over
+        # tens of steps; at every-vertex sampling the two engines track to
+        # <2e-5.
+        cfg = OptConfig(
+            save_mid_freq=2,
+            loop_collision_subsample=1,
+            loop_collision_face_subsample=1,
+        )
 
         seq = dict(params)
         for stage in strategy:
