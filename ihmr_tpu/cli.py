@@ -195,6 +195,13 @@ def cmd_test_baseline(args):
     io_utils.save_pkl(osp.join(out_dir, f"{dataset.name}.pkl"), evaluator)
     if getattr(args, "visualize_eval", False):
         evaluator.render_results(osp.join(out_dir, dataset.name, "images"))
+    if args.export_pred:
+        # prediction pkl consumed by `optimize` / `train-mlp` (--pred_path);
+        # the baseline -> OPT/MLP hand-off (ref src/data/data_utils.py:42-70)
+        from ihmr_tpu.eval.export import evaluator_to_prediction_pkl
+
+        evaluator_to_prediction_pkl(evaluator, args.export_pred)
+        print(f"exported prediction pkl -> {args.export_pred}")
     print_metrics(evaluator, f"epoch {args.test_epoch}")
 
 
@@ -231,10 +238,19 @@ def cmd_optimize(args):
     evaluator.remove_redunc()
     out_dir = osp.join("evaluate_results", "optimize")
     io_utils.save_pkl(osp.join(out_dir, f"{dataset.name}.pkl"), evaluator)
+    if args.export_pseudo_gt:
+        # refined params become MLP pseudo-GT (`train-mlp --use_opt_params
+        # --opt_params_path`; ref mlp_dataset.py:117-145)
+        from ihmr_tpu.eval.export import evaluator_to_opt_pseudo_gt
+
+        evaluator_to_opt_pseudo_gt(evaluator, args.export_pseudo_gt)
+        print(f"exported OPT pseudo-GT -> {args.export_pseudo_gt}")
     print_metrics(evaluator, "optimize")
 
 
 def cmd_train_mlp(args):
+    import dataclasses
+
     from ihmr_tpu.data import BatchLoader, DataConfig, MLPDataset
     from ihmr_tpu.refine import MLPCaches, OptConfig, strategies
     from ihmr_tpu.train.loops import _to_mlp_batch
@@ -244,6 +260,7 @@ def cmd_train_mlp(args):
         data_root=args.data_root, param_root=args.param_root, anno_path=args.anno_path,
         pred_path=args.pred_path, batch_size=args.batchSize, world_size=args.world_size,
         is_train=True, use_opt_params=args.use_opt_params,
+        opt_params_path=args.opt_params_path,
     )
     dataset = MLPDataset(cfg)
     dataset.load_data()
@@ -251,9 +268,12 @@ def cmd_train_mlp(args):
     mano_right, _mano_left, _, _ = _load_mano(args)
     caches = MLPCaches(num_data=len(dataset))
     config = OptConfig(robustifier=args.sdf_robustifier)
+    strategy = strategies[args.strategy]
+    if args.stage_epochs is not None:
+        strategy = tuple(dataclasses.replace(s, epoch=args.stage_epochs) for s in strategy)
     warm_pass(mano_right, loader, caches, config, _to_mlp_batch)
     train_mlp_stages(
-        mano_right, strategies[args.strategy], loader, caches, config, _to_mlp_batch,
+        mano_right, strategy, loader, caches, config, _to_mlp_batch,
         checkpoints_dir=args.checkpoints_dir, is_main=args.rank <= 0,
     )
 
@@ -349,6 +369,8 @@ def main(argv=None):
     p.add_argument("--test_epoch", default="latest")
     p.add_argument("--visualize_eval", action="store_true",
                    help="render predictions to jpg after evaluation")
+    p.add_argument("--export_pred", default="",
+                   help="write the prediction pkl consumed by optimize/train-mlp")
     p.set_defaults(func=cmd_test_baseline)
 
     p = sub.add_parser("optimize")
@@ -365,12 +387,18 @@ def main(argv=None):
                         "metrics always use every face)")
     p.add_argument("--obj_dump_dir", default=None,
                    help="dump each batch's first refined sample as .obj here")
+    p.add_argument("--export_pseudo_gt", default="",
+                   help="write OPT refined params as MLP pseudo-GT pkl")
     p.set_defaults(func=cmd_optimize)
 
     p = sub.add_parser("train-mlp")
     _add_common(p)
     p.add_argument("--use_opt_params", action="store_true")
+    p.add_argument("--opt_params_path", default="",
+                   help="OPT pseudo-GT pkl from `optimize --export_pseudo_gt`")
     p.add_argument("--sdf_robustifier", type=float, default=None)
+    p.add_argument("--stage_epochs", type=int, default=None,
+                   help="override every stage's epoch count (smoke tests)")
     p.set_defaults(func=cmd_train_mlp, strategy="mlp_default")
 
     p = sub.add_parser("test-mlp")

@@ -53,6 +53,10 @@ class DataConfig:
     blur_kernel_dir: str = ""
     motion_blur_prob: float = 0.5
     use_opt_params: bool = False  # MLP trains against OPT pseudo-GT
+    # pkl of img_path -> {opt_pose_params, opt_shape_params, opt_hand_trans}
+    # written by `optimize --export_pseudo_gt` (the reference expects these
+    # pre-merged into the annotation pkl; ref mlp_dataset.py:117-145)
+    opt_params_path: str = ""
 
 
 def load_annotation(data_root: str, anno_path: str) -> List[dict]:
@@ -249,6 +253,15 @@ class PredictionDataset(BaselineDataset):
         data_list = load_anno_pred_data(
             self.config.data_root, self.config.anno_path, self.config.pred_path
         )
+        if self.config.opt_params_path:
+            from ihmr_tpu.eval.export import merge_opt_pseudo_gt_into_annotations
+
+            full = (
+                osp.join(self.config.data_root, self.config.opt_params_path)
+                if self.config.data_root
+                else self.config.opt_params_path
+            )
+            merge_opt_pseudo_gt_into_annotations(data_list, io_utils.load_pkl(full))
         data_list = sorted(data_list, key=lambda a: a["img_path"])
         self.all_data_list = data_list
         if self.config.is_train:
@@ -269,11 +282,17 @@ class PredictionDataset(BaselineDataset):
             self._common_fields(single)
         )
 
+        opt_trans = None
         if self.config.use_opt_params and "opt_pose_params" in single:
             # OPT pseudo-GT replaces the MANO GT (ref mlp_dataset.py:117-145)
             pose = np.asarray(single["opt_pose_params"], np.float32)
             betas = np.asarray(single["opt_shape_params"], np.float32)
             weight = np.ones(2, np.float32)
+            if "opt_hand_trans" in single:  # ref :142-145
+                opt_trans = np.concatenate(
+                    [np.asarray(single["opt_hand_trans"], np.float32).reshape(3),
+                     np.ones(1, np.float32)]
+                ).reshape(1, 4)
 
         init_cam = np.asarray(single["pred_cam_params"], np.float32).reshape(3)
         init_shape = np.asarray(single["pred_shape_params"], np.float32).reshape(20)
@@ -313,7 +332,7 @@ class PredictionDataset(BaselineDataset):
             mano_pose=pose,
             mano_betas=betas,
             mano_params_weight=weight,
-            hand_trans=self._hand_trans(joints_3d),
+            hand_trans=opt_trans if opt_trans is not None else self._hand_trans(joints_3d),
             hand_type_array=hand_type_array,
             hand_type_valid=hand_type_valid,
             init_cam=init_cam,
