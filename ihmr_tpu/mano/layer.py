@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # MANO outputs feed millimeter-scale collision/MPJPE metrics; the TPU default
 # bf16 matmul precision costs ~0.3% relative vertex error, so the decode pins
@@ -34,7 +35,10 @@ _PREC = jax.lax.Precision.HIGH
 from ihmr_tpu.core.rotations import axis_angle_to_matrix, flip_hand_pose
 from ihmr_tpu.mano.model import FINGERTIP_VERTEX_IDS, MANO_PARENTS, ManoModel
 
-_TIPS = jnp.asarray(FINGERTIP_VERTEX_IDS)
+# numpy (not jnp) on purpose: a module-level device array would initialize
+# the XLA backend at import, breaking jax.distributed.initialize for
+# multi-process users (it must run before any backend touch)
+_TIPS = np.asarray(FINGERTIP_VERTEX_IDS)
 
 
 @flax.struct.dataclass
