@@ -75,6 +75,8 @@ class Evaluator:
             )
             if "pred_joints_2d" in pred_results:
                 single["pred_joints_2d"] = np.array(pred_results["pred_joints_2d"][i])
+            if "pred_hand_type" in pred_results:
+                single["pred_hand_type"] = np.array(pred_results["pred_hand_type"][i])
             if pred_results.get("img_feat") is not None:
                 single["img_feat"] = np.array(pred_results["img_feat"][i], np.float32)
             defaults = dict(
@@ -98,6 +100,14 @@ class Evaluator:
             single["pa_no_rot_inter_j3d_error"] = mu.single_pa_inter_joints_error(
                 pred_j3, gt_j3, valid, scale, use_rot=False
             )
+            if "pred_hand_type" in single:
+                # computed here, pre flip-back: predictions for flipped
+                # (left->right) samples live in the flipped frame, which is
+                # what the reference's right-only check expects
+                # (ref metric_utils.py:12-20)
+                single["hand_type_acc"] = mu.hand_type_accuracy(
+                    single["hand_type"], single["hand_type_valid"], single["pred_hand_type"]
+                )
 
             if "do_flip" in pred_results and pred_results["do_flip"][i]:
                 self._flip_back(single)
@@ -191,13 +201,27 @@ class Evaluator:
             return float("nan")
         return mu.collision_auc(np.concatenate(vals))
 
+    @property
+    def hand_type_acc(self) -> float:
+        """Handedness classification accuracy (ref metric_utils.py:12-20;
+        defined but never printed by the reference)."""
+        flags: List[bool] = []
+        for p in self.pred_results:
+            flags += p.get("hand_type_acc", [])
+        return float(np.mean(flags)) if flags else float("nan")
+
     def metric_dict(self) -> "OrderedDict[str, float]":
-        return OrderedDict(
+        md = OrderedDict(
             mpjpe_3d=self.mpjpe_3d,
             inter_mpjpe_3d=self.inter_mpjpe_3d,
             collision_ave=self.collision_ave,
             collision_max=self.collision_max,
+            collision_auc=self.collision_auc,
         )
+        acc = self.hand_type_acc
+        if np.isfinite(acc):  # only baseline/MLP runs carry a handedness head
+            md["hand_type_acc"] = acc
+        return md
 
     # ------------------------------------------------------------------
     def render_results(self, res_vis_dir: str, limit: Optional[int] = None, size_type: str = "double"):

@@ -11,6 +11,10 @@ class ResultStat:
         ("inter_mpjpe_3d", "small", 1),
         ("collision_ave", "small", 1),
         ("collision_max", "small", 1),
+        # beyond the reference's 4: AUC + handedness accuracy are defined by
+        # the reference (metric_utils.py:12-20,146-160) but never surfaced
+        ("collision_auc", "large", 1),
+        ("hand_type_acc", "large", 1),
     ]
 
     def __init__(self):
@@ -40,11 +44,14 @@ class ResultStat:
         print(f"Test of epoch: {epoch} complete")
         parts = []
         for metric, (_t, scale, results) in self.all_results.items():
-            parts.append(f"{metric}:{results[-1][1] * scale:.3f}")
+            if results:
+                parts.append(f"{metric}:{results[-1][1] * scale:.3f}")
         print(" ".join(parts))
 
     def print_best_results(self):
         for metric, (_t, scale, _r) in self.all_results.items():
+            if self.best_results[metric] is None:
+                continue
             value, epoch = self.best_results[metric]
             print(f"{metric} : {value * scale:.3f} (epoch : {epoch})")
 
