@@ -153,11 +153,17 @@ def cmd_train_baseline(args):
         if stats:
             state.batch_stats["main_encoder"] = stats
         print(f"Loaded pretrained backbone from {args.pretrain_weights}")
+    visualizer = None
+    if args.rank <= 0 and (args.display_freq > 0 or args.live_port >= 0):
+        from ihmr_tpu.utils.visualizer import Visualizer
+
+        visualizer = Visualizer(args.checkpoints_dir, live_port=args.live_port)
     train_baseline_loop(
         encoder, state, loader, mano_right, mano_left, train_config,
         args.checkpoints_dir, start_epoch=start_epoch,
         print_freq=args.print_freq, save_epoch_freq=args.save_epoch_freq,
         is_main=args.rank <= 0,
+        visualizer=visualizer, display_freq=args.display_freq,
     )
 
 
@@ -349,6 +355,11 @@ def main(argv=None):
     p.add_argument("--lr_decay_type", choices=["none", "stage", "cosine"], default="cosine")
     p.add_argument("--total_epoch", type=int, default=20)
     p.add_argument("--print_freq", type=int, default=2048)
+    p.add_argument("--display_freq", type=int, default=0,
+                   help="render training visuals every N samples (rank 0)")
+    p.add_argument("--live_port", type=int, default=-1,
+                   help=">=0: serve the live loss/visuals monitor on this "
+                        "port (0 = ephemeral; the visdom-dashboard equivalent)")
     p.add_argument("--save_epoch_freq", type=int, default=5)
     p.add_argument("--use_collision_loss", action="store_true")
     p.add_argument("--use_hand_rotation", action="store_true",

@@ -99,11 +99,83 @@ def _generate_on_host(model: ManoModel, batch: int, seed: int, noise: float) -> 
     )
 
 
+def generate_interlocked(
+    model: ManoModel, batch: int, seed: int, noise: float
+) -> Dict[str, jnp.ndarray]:
+    """Hard-case samples: interlocked, deeply-penetrating curled fingers.
+
+    The standard ``generate`` protocol produces broad shallow contact
+    (~20-40% of vertices penetrating a few mm). This generator poses the two
+    hands facing each other (left flipped ~pi about y), fingers curled, wrists
+    offset so fingertips drive into the opposing palm: measured on the
+    synthetic model, only ~0.5-2% of vertices penetrate but up to 0.14 units
+    (~2 finger widths) deep — SPARSE deep contacts, the adversarial case for
+    in-loop collision vertex/face subsampling (a strided subset can miss a
+    thin deep contact entirely). Used by the quality study + regression guard
+    that earn the shipping sub/fsub defaults (VERDICT round 1, item 3).
+    """
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    model_cpu = jax.device_put(model, cpu)
+    with jax.default_device(cpu):
+        rng = np.random.RandomState(seed)
+        pose = np.zeros((batch, 96), np.float32)
+        curl = rng.uniform(0.5, 1.1, size=(batch, 1)).astype(np.float32)
+        for f in range(5):
+            for k in range(3):
+                base = 3 + (f * 3 + k) * 3
+                jitter = rng.randn(batch).astype(np.float32) * 0.1
+                pose[:, base + 2] = curl[:, 0] + jitter  # right finger curl
+                pose[:, 48 + base + 2] = curl[:, 0] + rng.randn(batch).astype(np.float32) * 0.1
+        # left hand faces the right: ~pi rotation about y, jittered
+        pose[:, 49] = np.pi + rng.randn(batch).astype(np.float32) * 0.15
+        pose += rng.randn(batch, 96).astype(np.float32) * 0.05
+        gt_pose = jnp.asarray(pose)
+        gt_shape = jnp.asarray((rng.randn(batch, 20) * 0.3).astype(np.float32))
+        cam = np.tile(np.array([[5.0, 0.0, 0.0]], np.float32), (batch, 1))
+        cam[:, 1:] += rng.randn(batch, 2).astype(np.float32) * 0.02
+        gt_cam = jnp.asarray(cam)
+        trans = np.zeros((batch, 3), np.float32)
+        trans[:, 0] = rng.uniform(0.08, 0.15, size=batch)  # wrist offset -> overlap
+        trans[:, 1:] = rng.randn(batch, 2).astype(np.float32) * 0.015
+        gt_trans = jnp.asarray(trans)
+
+        _, _, gt_j3, gt_j2 = _decode(model_cpu, gt_pose, gt_shape, gt_trans, gt_cam)
+
+        init_pose = gt_pose + jnp.asarray(rng.randn(batch, 96).astype(np.float32)) * noise
+        init_shape = gt_shape + jnp.asarray(rng.randn(batch, 20).astype(np.float32)) * noise
+        init_trans = gt_trans + jnp.asarray(rng.randn(batch, 3).astype(np.float32)) * noise * 0.2
+        kp_noise = noise * 0.02
+        init_j3 = gt_j3 + jnp.asarray(rng.randn(*gt_j3.shape).astype(np.float32)) * kp_noise
+        init_j2 = gt_j2 + jnp.asarray(rng.randn(*gt_j2.shape).astype(np.float32)) * kp_noise
+
+        return dict(
+            gt_pose=gt_pose,
+            gt_shape=gt_shape,
+            gt_cam=gt_cam,
+            gt_trans=gt_trans,
+            gt_j3=gt_j3,
+            gt_j2=gt_j2,
+            init_pose=init_pose,
+            init_shape=init_shape,
+            init_cam=gt_cam,
+            init_trans=init_trans,
+            init_j3=init_j3,
+            init_j2=init_j2,
+        )
+
+
 def make_opt_inputs(
-    model: ManoModel, batch: int = 8, seed: int = 0, noise: float = 0.15
+    model: ManoModel,
+    batch: int = 8,
+    seed: int = 0,
+    noise: float = 0.15,
+    interlocked: bool = False,
 ) -> Tuple[ParamDict, OptBatch]:
     """Build (initial params, OptBatch) for the OPT workload."""
-    d = generate(model, batch, seed, noise)
+    gen = generate_interlocked if interlocked else generate
+    d = gen(model, batch, seed, noise)
     ones = jnp.ones((batch, 42, 1), jnp.float32)
     ones1 = jnp.ones((batch, 1), jnp.float32)
 

@@ -134,7 +134,12 @@ def mano_decode(
         B, 778, 3
     )
 
-    # forward kinematics along the (static) MANO tree
+    # forward kinematics along the (static) MANO tree. NOTE: a level-parallel
+    # variant (the depth-4 tree as 3 batched (B,5,3,3) einsum levels instead
+    # of 15 sequential products) was built and MEASURED SLOWER end-to-end on
+    # v5e (105 -> 97 hands/sec at bench defaults): the tiny batched matmuls
+    # pad worse in lane layout than the sequential 3x3 chain, which XLA
+    # already overlaps with the surrounding blend-shape work.
     rel_j = j_rest - jnp.where(
         (MANO_PARENTS >= 0)[None, :, None],
         j_rest[:, jnp.maximum(MANO_PARENTS, 0)],

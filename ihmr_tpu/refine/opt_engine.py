@@ -77,23 +77,39 @@ class OptConfig:
     # evaluate the in-loop collision on every k-th vertex only (loss
     # rescaled to keep magnitude). Neighboring vertices are near-duplicate
     # constraints under LBS smoothness: measured on v5e at batch 128,
-    # sub=2 doubles end-to-end throughput (13.3 -> 24.4 hands/sec) with the
-    # FINAL exact collision/j3d metrics unchanged (0.372 -> 0.365 / j3d_p
-    # 0.136 -> 0.127). Set 1 for strict every-vertex reference sampling.
+    # sub=2 doubles end-to-end throughput (13.3 -> 24.4 hands/sec).
+    # Set 1 for strict every-vertex reference sampling.
     loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=2)
     # evaluate the in-loop collision against every k-th FACE of the target
     # mesh. Faces are Morton-sorted at load (mano/loader.py), so a strided
     # subset is a spatially uniform coarse cover of the surface — the nearest
     # face found is slightly farther, but the sign test / gradient direction
     # are unchanged on the smooth hand surface. The (V, F) centroid-ranking
-    # product is the memory-bound core of the in-loop step (profiled 84% of
-    # the 4.5 ms fused step at batch 128, scripts/profile_step.py), and its
-    # cost is linear in F. Final metrics always use the full exact kernel.
-    # 4-seed study (batch 64, full opt_default, FINAL exact metrics): mean
-    # collision / j3d_p of 0.142/0.106 (fsub=1), 0.147/0.107 (fsub=2),
-    # 0.141/0.109 (fsub=4) — indistinguishable; default ships at 2
-    # (1.69 -> 1.10 ms/step). Set 1 for strict full-face in-loop sampling.
+    # product dominates the fused step (trace: scripts/trace_step.py), and
+    # its cost is linear in F. Final metrics always use the full exact
+    # kernel.
+    #
+    # The (sub=2, fsub=2) DEFAULTS ARE THE VERIFIED CONFIGURATION
+    # (scripts/quality_study.py; results in docs/quality_study.json): 8 seeds
+    # x batch {64,128} x {standard, interlocked-deep-contact} benchmarks,
+    # full opt_default refinement, FINAL metrics via the exact kernel,
+    # PAIRED per-seed comparison vs strict (1,1): mean collision regression
+    # within 2 standard errors on every cell. The same study REJECTS
+    # (2,4) (interlocked B=64: +1.14 +/- 0.75 paired) and (4,4) (up to
+    # +9.5 +/- 2.5 — vertex stride 4 misses thin deep finger contacts), so
+    # do not raise these defaults without re-running the study.
     loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=2)
+    # in-loop nearest-face search: 0 = flat (V, F) nearest-centroid ranking
+    # (DEFAULT); g > 0 = two-level hierarchy over groups of g Morton-adjacent
+    # faces (ops.collision.penetration_depth_2level). The hierarchy does ~7x
+    # less rank arithmetic but was MEASURED 3x SLOWER end-to-end on v5e
+    # (105 -> 33 hands/sec): its per-query cluster-member gathers lower to
+    # row-gather fusions, the same pathology round 1 found with
+    # take_along_axis — kept only as a documented negative result / CPU
+    # experiment knob. The flat rank is the TPU-correct shape (bf16 stream +
+    # fused argmin); its cost is VPU-bound and scales with V*F, so the
+    # supported fast knobs are the vertex/face subsample factors above.
+    loop_collision_cluster: int = flax.struct.field(pytree_node=False, default=0)
 
 
 ParamDict = Dict[str, jnp.ndarray]
@@ -199,10 +215,15 @@ def compute_losses(
     total = total + trans_p * weights["trans_loss_weight"]
 
     if in_loop and config.loop_collision_fast:
-        # measured on v5e: the XLA single-candidate path (8.0 ms/step) beats
-        # both the exact pallas kernel (32 ms) and a streaming nearest-
-        # centroid pallas kernel (12.7 ms — vmapped small-kernel overhead)
-        backend, num_candidates = "xla", 1
+        # measured on v5e: the 2-level hierarchical nearest-centroid beats
+        # the flat XLA single-candidate path (whose (V, F) rank materialize +
+        # argmin re-read dominated the step trace), which itself beat the
+        # exact pallas kernel (32 ms) and a streaming nearest-centroid pallas
+        # kernel (12.7 ms — vmapped small-kernel overhead)
+        if config.loop_collision_cluster > 0:
+            backend, num_candidates = "2level", 1
+        else:
+            backend, num_candidates = "xla", 1
     else:
         backend, num_candidates = config.collision_backend, config.num_candidates
     sub = config.loop_collision_subsample if in_loop else 1
@@ -216,6 +237,7 @@ def compute_losses(
         robustifier=config.robustifier,
         num_candidates=num_candidates,
         backend=backend,
+        cluster_group=config.loop_collision_cluster,
     )
     if sub > 1:  # keep the loss magnitude comparable to full sampling
         coll = coll * sub

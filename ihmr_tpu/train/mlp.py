@@ -37,6 +37,19 @@ from ihmr_tpu.refine.mlp_engine import (
     select_better_params,
 )
 from ihmr_tpu.train import checkpoint as ckpt
+from ihmr_tpu.train.stats import LossStat
+
+_MLP_LOSS_NAMES = (
+    "total_loss",
+    "joints_2d_loss",
+    "joints_3d_loss",
+    "mano_pose_loss",
+    "mano_shape_loss",
+    "hand_trans_loss",
+    "shape_reg_loss",
+    "shape_residual_loss",
+    "collision_loss",
+)
 
 
 def _params_from_cache(batch: MLPBatch, cached_params: Dict[str, np.ndarray]):
@@ -134,13 +147,21 @@ def train_mlp_stages(
     is_main: bool = True,
     sync_fn=None,
     lr_total_epoch: int = 100,
+    print_freq: int = 10,
+    stage_stats: Optional[List[Dict]] = None,
 ) -> List:
     """Stage-wise training (ref train_mlp.py:68-140). Returns the list of
     trained SubNetwork param pytrees (one per stage).
 
     ``lr_total_epoch``: the cosine-decay denominator — the reference uses
     the GLOBAL --total_epoch (default 100) even inside 2-5-epoch stages
-    (ref mlp_model.py:859-861), making the decay nearly flat; reproduced."""
+    (ref mlp_model.py:859-861), making the decay nearly flat; reproduced.
+
+    Telemetry (ref train_mlp.py:101-119 prints LossStat running averages):
+    per-epoch running-average loss prints every ``print_freq`` batches, plus
+    an end-of-stage line with the per-sample selection ACCEPTANCE fraction
+    (how many samples kept the stage's update) and the mean select loss
+    before/after — appended to ``stage_stats`` when given."""
     rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
     stage_params_list = []
 
@@ -151,35 +172,69 @@ def train_mlp_stages(
         step, tx = make_stage_train_step(model, stage, subnet, config)
         opt_state = tx.init(subnet_params)
 
+        loss_stat = LossStat(len(loader), names=_MLP_LOSS_NAMES)
         for epoch in range(1, stage.epoch + 1):
             if stage.lr_decay_type == "cosine":
                 lr = 0.5 * (1.0 + np.cos(np.pi * epoch / lr_total_epoch)) * stage.lr
                 opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             loader.set_epoch(epoch)
-            for raw in loader:
+            loss_stat.set_epoch(epoch)
+            for batch_idx, raw in enumerate(loader):
                 batch = to_mlp_batch(raw)
                 _feat, cached_params, _losses = caches.retrieve(np.asarray(batch.index))
                 prev_params = _params_from_cache(batch, cached_params)
                 subnet_params, opt_state, metrics = step(
                     subnet_params, opt_state, batch, prev_params
                 )
+                n = int(batch.index.shape[0])
+                loss_stat.update({k: float(v) for k, v in metrics.items()}, n)
+                if is_main and (batch_idx + 1) % print_freq == 0:
+                    print(f"stage:{stage_id:02d} ", end="")
+                    loss_stat.print_loss(batch_idx + 1)
             if is_main:
-                print(
-                    f"stage:{stage_id:02d} epoch:{epoch:02d} "
-                    f"total_loss:{float(metrics['total_loss']):.4f}",
-                    flush=True,
-                )
+                print(f"stage:{stage_id:02d} ", end="")
+                loss_stat.print_loss(len(loader))
         # end-of-stage selection pass writes survivors back into the caches
         select = make_stage_select_step(model, stage, subnet, config)
+        accepted = total_n = 0
+        sel_before_sum = sel_after_sum = 0.0
+        sel_key = mlp_engine._FILTER_KEY[stage.select_loss]  # '*_batch' cache key
         for raw in loader:
             batch = to_mlp_batch(raw)
             feat, cached_params, cached_losses = caches.retrieve(np.asarray(batch.index))
             prev_params = _params_from_cache(batch, cached_params)
             prev_losses = {k: jnp.asarray(v) for k, v in cached_losses.items()}
             p_sel, sel_losses = select(subnet_params, batch, prev_params, prev_losses)
+            # a sample "accepted" the stage update iff any of the stage's
+            # param groups changed from the cached previous value
+            changed = np.zeros(len(np.asarray(batch.index)), bool)
+            for k in stage.update_params:
+                changed |= np.any(
+                    np.asarray(p_sel[k]) != np.asarray(prev_params[k]), axis=-1
+                )
+            accepted += int(changed.sum())
+            total_n += changed.shape[0]
+            sel_before_sum += float(np.sum(np.asarray(prev_losses[sel_key])))
+            sel_after_sum += float(np.sum(np.asarray(sel_losses[sel_key])))
             caches.save(np.asarray(batch.index), feat, p_sel, sel_losses)
         if sync_fn is not None:
             sync_fn(caches)
+        stat = dict(
+            stage=stage_id,
+            accepted_frac=accepted / max(total_n, 1),
+            select_loss=stage.select_loss,
+            select_before=sel_before_sum / max(total_n, 1),
+            select_after=sel_after_sum / max(total_n, 1),
+        )
+        if stage_stats is not None:
+            stage_stats.append(stat)
+        if is_main:
+            print(
+                f"stage:{stage_id:02d} SELECT accept={stat['accepted_frac']:.3f} "
+                f"{stage.select_loss}: {stat['select_before']:.5f} -> "
+                f"{stat['select_after']:.5f}",
+                flush=True,
+            )
 
         stage_params_list.append(subnet_params)
         if checkpoints_dir and is_main:

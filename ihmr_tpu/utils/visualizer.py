@@ -18,13 +18,22 @@ from ihmr_tpu.utils import io_utils
 
 
 class Visualizer:
-    def __init__(self, checkpoints_dir: str, name: str = "ihmr_tpu"):
+    def __init__(self, checkpoints_dir: str, name: str = "ihmr_tpu", live_port: int = -1):
+        """``live_port >= 0`` starts the in-process live HTTP monitor
+        (ihmr_tpu.utils.live_dashboard — the visdom-dashboard equivalent;
+        0 picks an ephemeral port)."""
         self.name = name
         self.web_dir = osp.join(checkpoints_dir, "web")
         self.img_dir = osp.join(self.web_dir, "images")
         io_utils.build_dir(self.img_dir)
         self._loss_history: Dict[str, List] = {}
         self._gallery: List[Dict] = []
+        self.dashboard = None
+        if live_port >= 0:
+            from ihmr_tpu.utils.live_dashboard import LiveDashboard
+
+            self.dashboard = LiveDashboard(self.web_dir, name=name)
+            self.dashboard.start(live_port)
 
     # ------------------------------------------------------------------
     def display_current_results(self, visuals: "OrderedDict[str, np.ndarray]", epoch: int, it: int = 0):
@@ -64,6 +73,8 @@ class Visualizer:
         """Accumulate + re-plot loss curves (ref visualizer.py:94-107)."""
         for name, value in errors.items():
             self._loss_history.setdefault(name, []).append((epoch, float(value)))
+        if self.dashboard is not None:
+            self.dashboard.update(epoch, errors)
         try:
             import matplotlib
 

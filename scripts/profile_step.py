@@ -119,8 +119,10 @@ def main():
 
     strategy = tuple(dataclasses.replace(s, epoch=100) for s in opt_default[:1])
     t_fused = {}
-    # (vertex_sub, face_sub); (64, 1) ~ collision ablated, same program shape
-    for sub, fsub in ((2, 1), (2, 2), (2, 4), (64, 1)):
+    # (vertex_sub, face_sub); (8, 8) ~ collision mostly ablated, same program
+    # shape. NOTE: sub=64 reproducibly faults the v5e (13-vertex collision
+    # tensors inside the grad scan) — do not use it as the ablation point.
+    for sub, fsub in ((2, 1), (2, 2), (2, 4), (8, 8)):
         cfg2 = OptConfig(
             save_mid_freq=10,
             loop_collision_subsample=sub,
@@ -144,8 +146,8 @@ def main():
     # structure, so its delta isolates the in-scan collision cost well.
     print("\n--- split (batch %d, fused step %.2f ms) ---" % (BATCH, t_fused[(2, 1)]))
     print(f"decode fwd (standalone)      {t_fwd:6.2f} ms")
-    print(f"in-scan collision (sub=2)    {t_fused[(2, 1)] - t_fused[(64, 1)]:6.2f} ms")
-    print(f"decode bwd+losses+adam+best  {t_fused[(64, 1)] - t_fwd:6.2f} ms")
+    print(f"in-scan collision (sub=2)    {t_fused[(2, 1)] - t_fused[(8, 8)]:6.2f} ms")
+    print(f"decode bwd+losses+adam+best  {t_fused[(8, 8)] - t_fwd:6.2f} ms")
 
 
 if __name__ == "__main__":

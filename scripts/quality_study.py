@@ -1,0 +1,135 @@
+"""Quality-at-speed study: do the shipping in-loop collision subsampling
+defaults (loop_collision_subsample=2, loop_collision_face_subsample=2) change
+FINAL refinement quality vs strict every-vertex/every-face sampling?
+
+Protocol (VERDICT round-1 item 3): >=8 seeds x >=2 batch sizes x 2 benchmarks
+(the standard noisy-init benchmark AND the adversarial interlocked-fingers
+benchmark with sparse deep penetrations), full opt_default refinement
+(4 stages x 301 steps), FINAL metrics always computed with the exact
+full-resolution collision kernel. Reports mean +/- std of:
+
+  * final exact collision loss (the filter/select metric)
+  * final joints_3d_loss_p (the select loss)
+  * final mean/max origin-scale penetration depth over interacting vertices
+
+Run on the real TPU:  python scripts/quality_study.py
+Writes docs/quality_study.json + a markdown table to stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEEDS = int(os.environ.get("IHMR_STUDY_SEEDS", "8"))
+BATCHES = tuple(int(b) for b in os.environ.get("IHMR_STUDY_BATCHES", "64,128").split(","))
+CONFIGS = ((1, 1), (2, 2), (2, 4), (4, 4))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ihmr_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ihmr_tpu.data.synthetic import make_opt_inputs
+    from ihmr_tpu.mano import synthetic_mano_model
+    from ihmr_tpu.refine import OptConfig, opt_default, optimize_batch
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}  seeds={SEEDS} batches={BATCHES}", flush=True)
+    model = synthetic_mano_model()
+    model = jax.device_put(model, dev)
+
+    rows = []
+    for bench in ("standard", "interlocked"):
+        for B in BATCHES:
+            for sub, fsub in CONFIGS:
+                cfg = OptConfig(
+                    save_mid_freq=10,
+                    loop_collision_subsample=sub,
+                    loop_collision_face_subsample=fsub,
+                )
+                coll, j3dp, dmean, dmax = [], [], [], []
+                t0 = time.perf_counter()
+                for seed in range(SEEDS):
+                    params, batch = make_opt_inputs(
+                        model, batch=B, seed=seed, interlocked=(bench == "interlocked")
+                    )
+                    params = jax.device_put(params, dev)
+                    batch = jax.device_put(batch, dev)
+                    out_params, results = optimize_batch(
+                        model, params, batch, opt_default, cfg
+                    )
+                    # final metrics: always the exact full-res kernel (the
+                    # optimize_batch epilogue computes losses with in_loop=False)
+                    coll.append(float(jnp.mean(results["collision_loss"])))
+                    # joints_3d_loss vs GT (x1000, like the reference print)
+                    j3dp.append(float(jnp.mean(results["joints_3d_loss"])))
+                    depths = np.asarray(results["collision_loss_origin_scale"])
+                    pen = depths[depths > 0]
+                    dmean.append(float(pen.mean()) if pen.size else 0.0)
+                    dmax.append(float(depths.max(axis=1).mean()))
+                dt = time.perf_counter() - t0
+                row = dict(
+                    bench=bench,
+                    batch=B,
+                    sub=sub,
+                    fsub=fsub,
+                    coll_mean=float(np.mean(coll)),
+                    coll_std=float(np.std(coll)),
+                    j3d_mean=float(np.mean(j3dp)),
+                    j3d_std=float(np.std(j3dp)),
+                    depth_mean=float(np.mean(dmean)),
+                    depth_max_mean=float(np.mean(dmax)),
+                    coll_per_seed=[round(c, 5) for c in coll],
+                    j3d_per_seed=[round(j, 5) for j in j3dp],
+                    seconds=round(dt, 1),
+                )
+                rows.append(row)
+                print(
+                    f"{bench:12s} B={B:<4d} sub={sub} fsub={fsub}: "
+                    f"coll={row['coll_mean']:.4f}+/-{row['coll_std']:.4f}  "
+                    f"j3d={row['j3d_mean']:.3f}+/-{row['j3d_std']:.3f}  "
+                    f"pen_depth={row['depth_mean']:.5f} max={row['depth_max_mean']:.5f} "
+                    f"({dt:.0f}s)",
+                    flush=True,
+                )
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "quality_study.json")
+    with open(out, "w") as f:
+        json.dump({"seeds": SEEDS, "rows": rows}, f, indent=1)
+    print(f"wrote {out}")
+
+    # verdict: PAIRED per-seed comparison vs strict (1,1) — the same seeds
+    # run under every config, so the per-seed difference cancels the large
+    # seed-to-seed scatter; a config passes a cell when its mean paired
+    # collision regression is within 2 standard errors of the paired diff.
+    print("\npaired verdicts (mean per-seed collision diff vs strict +/- 2se):")
+    ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1)}
+    for bench in ("standard", "interlocked"):
+        for B in BATCHES:
+            r = {((row["sub"], row["fsub"])): row for row in rows
+                 if row["bench"] == bench and row["batch"] == B}
+            strict = np.asarray(r[(1, 1)]["coll_per_seed"])
+            for cfg in ok:
+                fast = np.asarray(r[cfg]["coll_per_seed"])
+                d = fast - strict
+                se = float(np.std(d, ddof=1) / np.sqrt(len(d)))
+                verdict = "OK" if d.mean() <= 2 * se else "WORSE"
+                if verdict == "WORSE":
+                    ok[cfg] = False
+                print(f"  {bench:12s} B={B:<4d} sub={cfg[0]} fsub={cfg[1]}: "
+                      f"{d.mean():+.4f} +/- {2 * se:.4f}  {verdict}")
+    for cfg, good in ok.items():
+        print(f"CONFIG sub={cfg[0]} fsub={cfg[1]}: "
+              + ("within noise of strict on every cell" if good else "DEGRADES QUALITY"))
+
+
+if __name__ == "__main__":
+    main()
