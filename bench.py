@@ -7,13 +7,21 @@ the loop, snapshot filter/select semantics identical to the reference
 (save_mid_freq=10, matching bash/optimize.sh:11) — for a batch of images,
 entirely on-device as one jitted program per stage.
 
+The headline runs the VERIFIED default configuration: every-vertex /
+every-face in-loop collision (the reference's own sampling density) with
+lazy nearest-face reselection, proven statistically identical to strict
+every-step selection by the 16-seed paired study (docs/quality_study.json;
+OptConfig docstrings). A 2x-faster subsampled mode exists
+(IHMR_BENCH_SUBSAMPLE=2) but leaves measurable residual collision on deep
+interlocked contacts, so it is NOT the headline.
+
 Baseline: the reference publishes no numbers (BASELINE.md). ``VS_BASELINE_
 REF`` is an *estimate* of the reference pipeline on one A100: the CUDA SDF
 evaluates a 32^3 grid x 1538 triangles per hand per step (~5 GFLOP/sample/
 step, ~2.4 TFLOP/step at batch 512 vs ~19 fp32 TFLOP/s peak), plus 1204
 sequential Python-loop steps of MANO forward/backward => >= ~120 ms/step,
-~145 s per 512-sample batch ~= 3.5 hands/sec. Replace with a measured number
-when the reference can be run.
+~145 s per 512-sample batch ~= 3.5 hands/sec. `scripts/ref_cpu_bench.py`
+provides a measured same-host anchor of the two engines on CPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -27,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 VS_BASELINE_REF = 3.5  # estimated reference hands/sec on one A100 (see docstring)
 BATCH = int(os.environ.get("IHMR_BENCH_BATCH", "128"))
-SUBSAMPLE = int(os.environ.get("IHMR_BENCH_SUBSAMPLE", "2"))
+SUBSAMPLE = int(os.environ.get("IHMR_BENCH_SUBSAMPLE", "1"))
 REPEATS = int(os.environ.get("IHMR_BENCH_REPEATS", "3"))
 
 

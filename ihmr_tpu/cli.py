@@ -232,6 +232,7 @@ def cmd_optimize(args):
         save_mid_freq=args.save_mid_freq,
         loop_collision_subsample=args.loop_collision_subsample,
         loop_collision_face_subsample=args.loop_collision_face_subsample,
+        loop_collision_lazy_reselect=not args.loop_collision_eager_reselect,
     )
     strategy = strategies[args.strategy]
     if args.stage_epochs is not None:
@@ -390,12 +391,19 @@ def main(argv=None):
     p.add_argument("--save_mid_freq", type=int, default=10)
     p.add_argument("--stage_epochs", type=int, default=None,
                    help="override every stage's step count (fast runs/smoke tests)")
-    p.add_argument("--loop_collision_subsample", type=int, default=2,
-                   help="in-loop collision vertex stride (1 = every vertex)")
-    p.add_argument("--loop_collision_face_subsample", type=int, default=2,
+    p.add_argument("--loop_collision_subsample", type=int, default=1,
+                   help="in-loop collision vertex stride (1 = every vertex — "
+                        "the verified default; 2 = fast knob that leaves "
+                        "residual collision on deep interlocked contacts, "
+                        "see docs/quality_study.json)")
+    p.add_argument("--loop_collision_face_subsample", type=int, default=1,
                    help="in-loop collision target-face stride (Morton-sorted "
                         "faces, so >1 is a uniform coarse cover; final "
                         "metrics always use every face)")
+    p.add_argument("--loop_collision_eager_reselect", action="store_true",
+                   help="recompute the nearest-face selection every step "
+                        "instead of once per snapshot period (1.65x slower, "
+                        "measured quality-identical)")
     p.add_argument("--obj_dump_dir", default=None,
                    help="dump each batch's first refined sample as .obj here")
     p.add_argument("--export_pseudo_gt", default="",

@@ -262,6 +262,86 @@ def _pair_depths_2level(right_verts, left_verts, faces_right, faces_left, group)
     return jnp.concatenate([d_r, d_l], axis=0)
 
 
+def nearest_face_indices(
+    query: jnp.ndarray,  # (V, 3)
+    mesh_verts: jnp.ndarray,  # (Vm, 3)
+    faces: jnp.ndarray,  # (F, 3)
+) -> jnp.ndarray:
+    """(V,) int32 nearest-centroid face index (the K=1 ranking, selection
+    only — no depth). Everything under stop_gradient: selection is a
+    discrete decision, never a gradient path."""
+    query = jax.lax.stop_gradient(query)
+    mesh_verts = jax.lax.stop_gradient(mesh_verts)
+    tri = mesh_verts[faces]
+    centroid = jnp.mean(tri, axis=1)
+    qb = query.astype(jnp.bfloat16)
+    cb = centroid.astype(jnp.bfloat16)
+    rank = jnp.sum(cb * cb, axis=-1)[None, :] - 2.0 * (qb @ cb.T)
+    return jnp.argmin(rank, axis=-1)
+
+
+def penetration_depth_at(
+    query: jnp.ndarray,  # (V, 3)
+    mesh_verts: jnp.ndarray,  # (Vm, 3)
+    faces: jnp.ndarray,  # (F, 3)
+    idx: jnp.ndarray,  # (V,) face index per query (e.g. nearest_face_indices)
+) -> jnp.ndarray:
+    """Penetration depth against the GIVEN face per query — the exact
+    point-triangle refinement of the K=1 path with the selection factored
+    out. Lets the refinement hot loop reuse a nearest-face selection across
+    several steps (the (V, F) rank+argmin dominates the fused step; the
+    faces' POSITIONS still track the current mesh every step, only the
+    discrete selection is reused). Mesh side detached like all in-loop
+    variants."""
+    mesh_verts = jax.lax.stop_gradient(mesh_verts)
+    # same gather shape as the eager K=1 path: build (F, 9) then one 9-wide
+    # row gather — gathering (V*3,) 3-wide rows instead was measured ~2x
+    # slower end-to-end (TPU gathers want fat rows)
+    tri = mesh_verts[faces].reshape(-1, 9)  # (F, 9)
+    tri_best = tri[idx].reshape(-1, 3, 3)  # (V, 3, 3)
+    closest = point_triangle_closest(query, tri_best)
+    diff = query - closest
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), _EPS))
+    normal = jnp.cross(tri_best[:, 1] - tri_best[:, 0], tri_best[:, 2] - tri_best[:, 0])
+    inside = jnp.sum(diff * normal, axis=-1) < 0
+    return jnp.where(inside, dist, 0.0)
+
+
+def pair_indices(
+    right_verts: jnp.ndarray,  # (B, Vq, 3)
+    left_verts: jnp.ndarray,  # (B, Vq, 3)
+    faces_right: jnp.ndarray,
+    faces_left: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched nearest-face selections for both directions: (idx_r, idx_l),
+    each (B, Vq) int32 — right verts vs left mesh, left verts vs right."""
+    idx_r = jax.vmap(lambda q, m: nearest_face_indices(q, m, faces_left))(
+        right_verts, left_verts
+    )
+    idx_l = jax.vmap(lambda q, m: nearest_face_indices(q, m, faces_right))(
+        left_verts, right_verts
+    )
+    return idx_r, idx_l
+
+
+def pair_depths_at(
+    right_verts: jnp.ndarray,  # (B, Vq, 3)
+    left_verts: jnp.ndarray,  # (B, Vq, 3)
+    faces_right: jnp.ndarray,
+    faces_left: jnp.ndarray,
+    idx_r: jnp.ndarray,  # (B, Vq)
+    idx_l: jnp.ndarray,  # (B, Vq)
+) -> jnp.ndarray:
+    """(B, 2*Vq) depths at frozen face selections (both directions)."""
+    d_r = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_left, i))(
+        right_verts, left_verts, idx_r
+    )
+    d_l = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_right, i))(
+        left_verts, right_verts, idx_l
+    )
+    return jnp.concatenate([d_r, d_l], axis=1)
+
+
 def penetration_depth_fast(
     query: jnp.ndarray,  # (V, 3)
     mesh_verts: jnp.ndarray,  # (Vm, 3)
@@ -350,6 +430,17 @@ def collision_loss(
             lambda r, l: _pair_depths(r, l, faces_right, faces_left, num_candidates)
         )(right_verts, left_verts)  # (B, 1556)
 
+    return depths_to_loss(depths, right_verts, left_verts, hand_type_array, robustifier)
+
+
+def depths_to_loss(
+    depths: jnp.ndarray,  # (B, 2*Vq) raw penetration depths
+    right_verts: jnp.ndarray,
+    left_verts: jnp.ndarray,
+    hand_type_array: jnp.ndarray,
+    robustifier: Optional[float] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Depths -> the reference loss triple (normalize, robustify, mask)."""
     # normalization scale: half the max extent of the two-hand union AABB
     # (detached, like the reference's grid scale)
     allv = jax.lax.stop_gradient(jnp.concatenate([right_verts, left_verts], axis=1))

@@ -40,7 +40,12 @@ from ihmr_tpu.core.projection import orthographic_project
 from ihmr_tpu.losses import losses as L
 from ihmr_tpu.mano.layer import HandParams, two_hand_decode_mirrored
 from ihmr_tpu.mano.model import ManoModel
-from ihmr_tpu.ops.collision import collision_loss
+from ihmr_tpu.ops.collision import (
+    collision_loss,
+    depths_to_loss,
+    pair_depths_at,
+    pair_indices,
+)
 from ihmr_tpu.refine.schedule import OPT_DEFAULT_LOSS_WEIGHTS, Stage
 
 
@@ -75,30 +80,23 @@ class OptConfig:
     # the final metrics pass (~2x end-to-end throughput).
     loop_collision_fast: bool = flax.struct.field(pytree_node=False, default=True)
     # evaluate the in-loop collision on every k-th vertex only (loss
-    # rescaled to keep magnitude). Neighboring vertices are near-duplicate
-    # constraints under LBS smoothness: measured on v5e at batch 128,
-    # sub=2 doubles end-to-end throughput (13.3 -> 24.4 hands/sec).
-    # Set 1 for strict every-vertex reference sampling.
-    loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=2)
+    # rescaled to keep magnitude). DEFAULT 1 (every vertex, the reference's
+    # sampling): a 16-seed paired study on the interlocked deep-contact
+    # benchmark showed vertex stride 2 leaves +60% residual collision
+    # (+2.0 +/- 1.1 paired vs strict at final-exact metrics) — strided
+    # vertices exert no push, so deep contacts park half-resolved; the
+    # weaker 8-seed round-1 study missed this. sub=2 remains a supported
+    # fast knob where contact fidelity is secondary (it leaves GT-joint
+    # metrics unchanged or better).
+    loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=1)
     # evaluate the in-loop collision against every k-th FACE of the target
-    # mesh. Faces are Morton-sorted at load (mano/loader.py), so a strided
-    # subset is a spatially uniform coarse cover of the surface — the nearest
-    # face found is slightly farther, but the sign test / gradient direction
-    # are unchanged on the smooth hand surface. The (V, F) centroid-ranking
-    # product dominates the fused step (trace: scripts/trace_step.py), and
-    # its cost is linear in F. Final metrics always use the full exact
-    # kernel.
-    #
-    # The (sub=2, fsub=2) DEFAULTS ARE THE VERIFIED CONFIGURATION
-    # (scripts/quality_study.py; results in docs/quality_study.json): 8 seeds
-    # x batch {64,128} x {standard, interlocked-deep-contact} benchmarks,
-    # full opt_default refinement, FINAL metrics via the exact kernel,
-    # PAIRED per-seed comparison vs strict (1,1): mean collision regression
-    # within 2 standard errors on every cell. The same study REJECTS
-    # (2,4) (interlocked B=64: +1.14 +/- 0.75 paired) and (4,4) (up to
-    # +9.5 +/- 2.5 — vertex stride 4 misses thin deep finger contacts), so
-    # do not raise these defaults without re-running the study.
-    loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=2)
+    # mesh (Morton-sorted at load, so a strided subset is a spatially
+    # uniform cover). DEFAULT 1; the same 16-seed study attributes the
+    # subsampling quality loss to the VERTEX stride, not the face stride
+    # ((2,1) and (2,2) are statistically identical), but face striding is
+    # pointless at the default since lazy reselection (below) already
+    # amortizes the F-dependent ranking cost.
+    loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=1)
     # in-loop nearest-face search: 0 = flat (V, F) nearest-centroid ranking
     # (DEFAULT); g > 0 = two-level hierarchy over groups of g Morton-adjacent
     # faces (ops.collision.penetration_depth_2level). The hierarchy does ~7x
@@ -110,6 +108,21 @@ class OptConfig:
     # fused argmin); its cost is VPU-bound and scales with V*F, so the
     # supported fast knobs are the vertex/face subsample factors above.
     loop_collision_cluster: int = flax.struct.field(pytree_node=False, default=0)
+    # Fused-engine option (DEFAULT ON): recompute the per-vertex
+    # nearest-face SELECTION once per snapshot period (save_mid_freq steps)
+    # instead of every step, while the selected faces' positions still track
+    # the current mesh every step. The (V, F) rank+argmin is ~60% of the
+    # fused step (trace_step.py) and runs at 63% of the measured VPU ceiling
+    # (roofline.py), so amortizing it is the big lever: 39.7 -> 65.6
+    # hands/sec at full sampling on v5e batch 128. The selection is a
+    # discrete, gradient-free decision that changes slowly across Adam steps
+    # (verts move ~mm/step); staleness is bounded by one snapshot period,
+    # and every SNAPSHOT's filter/select losses use a fresh selection.
+    # Verified quality-free: 16-seed paired study on the interlocked
+    # deep-contact benchmark, (1,1,lazy) vs strict = -0.11 +/- 0.49 (also
+    # identical GT-joint error). Only the fused engine honors this; the
+    # per-stage fallback engine always reselects every step.
+    loop_collision_lazy_reselect: bool = flax.struct.field(pytree_node=False, default=True)
 
 
 ParamDict = Dict[str, jnp.ndarray]
@@ -173,6 +186,7 @@ def compute_losses(
     weights: Dict[str, float],
     config: OptConfig,
     in_loop: bool = False,
+    coll_idx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """All OPT losses (ref optimize_model.py:276-330).
 
@@ -228,17 +242,31 @@ def compute_losses(
         backend, num_candidates = config.collision_backend, config.num_candidates
     sub = config.loop_collision_subsample if in_loop else 1
     fsub = config.loop_collision_face_subsample if in_loop else 1
-    coll, coll_batch, coll_origin = collision_loss(
-        rv[:, ::sub] if sub > 1 else rv,
-        lv[:, ::sub] if sub > 1 else lv,
-        model.faces[::fsub] if fsub > 1 else model.faces,
-        faces_l[::fsub] if fsub > 1 else faces_l,
-        batch.hand_type_array,
-        robustifier=config.robustifier,
-        num_candidates=num_candidates,
-        backend=backend,
-        cluster_group=config.loop_collision_cluster,
-    )
+    rv_s = rv[:, ::sub] if sub > 1 else rv
+    lv_s = lv[:, ::sub] if sub > 1 else lv
+    faces_r_s = model.faces[::fsub] if fsub > 1 else model.faces
+    faces_l_s = faces_l[::fsub] if fsub > 1 else faces_l
+    if in_loop and coll_idx is not None:
+        # frozen nearest-face selection (recomputed by the caller once per
+        # snapshot period): faces' POSITIONS track the current mesh, only
+        # the discrete selection is reused — see OptConfig.loop_collision_
+        # reselect_freq for the quality evidence
+        depths = pair_depths_at(rv_s, lv_s, faces_r_s, faces_l_s, *coll_idx)
+        coll, coll_batch, coll_origin = depths_to_loss(
+            depths, rv_s, lv_s, batch.hand_type_array, config.robustifier
+        )
+    else:
+        coll, coll_batch, coll_origin = collision_loss(
+            rv_s,
+            lv_s,
+            faces_r_s,
+            faces_l_s,
+            batch.hand_type_array,
+            robustifier=config.robustifier,
+            num_candidates=num_candidates,
+            backend=backend,
+            cluster_group=config.loop_collision_cluster,
+        )
     if sub > 1:  # keep the loss magnitude comparable to full sampling
         coll = coll * sub
         coll_batch = coll_batch * sub
@@ -382,6 +410,20 @@ def _stack_stage_constants(strategy: Tuple[Stage, ...]):
     return masks, lrs, weights
 
 
+def _lazy_coll_indices(model: ManoModel, p: ParamDict, config: OptConfig):
+    """Nearest-face selections for both directions at the CURRENT params,
+    matching compute_losses' in-loop vertex/face subsampling."""
+    rv, lv, _, _ = forward(model, p)
+    sub = config.loop_collision_subsample
+    fsub = config.loop_collision_face_subsample
+    rv_s = rv[:, ::sub] if sub > 1 else rv
+    lv_s = lv[:, ::sub] if sub > 1 else lv
+    faces_l = model.faces[:, ::-1]
+    faces_r_s = model.faces[::fsub] if fsub > 1 else model.faces
+    faces_l_s = faces_l[::fsub] if fsub > 1 else faces_l
+    return pair_indices(rv_s, lv_s, faces_r_s, faces_l_s)
+
+
 def run_all_stages_fused(
     model: ManoModel,
     params: ParamDict,
@@ -389,7 +431,13 @@ def run_all_stages_fused(
     strategy: Tuple[Stage, ...],
     config: OptConfig,
 ) -> ParamDict:
-    """lax.scan over stages of lax.scan over optimizer steps; single trace."""
+    """lax.scan over stages of lax.scan over optimizer steps; single trace.
+
+    With ``config.loop_collision_lazy_reselect`` the step scan is blocked by
+    snapshot period: each block recomputes the nearest-face selection once,
+    then runs ``save_mid_freq`` steps against it (block starts coincide with
+    snapshot steps, so every snapshot's losses use a FRESH selection and the
+    filter/select comparisons stay apples-to-apples)."""
     assert _strategy_is_fusable(strategy)
     assert config.optimizer == "adam", "fused path implements adam; use run_stage for sgd"
     s0 = strategy[0]
@@ -401,9 +449,12 @@ def run_all_stages_fused(
     select_key = _FILTER_KEYS[s0.select_loss]
     B = batch.hand_type_array.shape[0]
 
-    def grad_fn(p, w):
+    def grad_fn(p, w, coll_idx=None):
         return jax.value_and_grad(
-            lambda q: compute_losses(model, q, batch, w, config, in_loop=True), has_aux=True
+            lambda q: compute_losses(
+                model, q, batch, w, config, in_loop=True, coll_idx=coll_idx
+            ),
+            has_aux=True,
         )(p)
 
     def stage_body(params, stage_const):
@@ -411,34 +462,37 @@ def run_all_stages_fused(
         m = _tree_zeros(params)
         v = _tree_zeros(params)
 
-        def step(carry, j):
-            params, m, v, best, best_select, bars = carry
-            (_, aux), grads = grad_fn(params, w)
-            grads = {k: grads[k] * mask[k] for k in grads}
+        def make_step(coll_idx):
+            def step(carry, j):
+                params, m, v, best, best_select, bars = carry
+                (_, aux), grads = grad_fn(params, w, coll_idx)
+                grads = {k: grads[k] * mask[k] for k in grads}
 
-            cur = jnp.stack([aux[_FILTER_KEYS[n]] for n in filter_names], 0)  # (NF, B)
-            cur_select = aux[select_key]
-            is_first = j == 0
-            bars = jnp.where(is_first, cur * (1.0 + bars_pct[:, None]), bars)
-            is_snapshot = (j % config.save_mid_freq) == 0
-            valid = jnp.all(cur <= bars, axis=0)
-            improve = is_first | (is_snapshot & valid & (cur_select < best_select))
-            best_select = jnp.where(improve, cur_select, best_select)
-            best = {k: jnp.where(improve[:, None], params[k], best[k]) for k in params}
+                cur = jnp.stack([aux[_FILTER_KEYS[n]] for n in filter_names], 0)  # (NF, B)
+                cur_select = aux[select_key]
+                is_first = j == 0
+                bars = jnp.where(is_first, cur * (1.0 + bars_pct[:, None]), bars)
+                is_snapshot = (j % config.save_mid_freq) == 0
+                valid = jnp.all(cur <= bars, axis=0)
+                improve = is_first | (is_snapshot & valid & (cur_select < best_select))
+                best_select = jnp.where(improve, cur_select, best_select)
+                best = {k: jnp.where(improve[:, None], params[k], best[k]) for k in params}
 
-            # adam (matches optax.adam/torch defaults incl. bias correction)
-            t = (j + 1).astype(jnp.float32)
-            m = {k: _ADAM_B1 * m[k] + (1 - _ADAM_B1) * grads[k] for k in m}
-            v = {k: _ADAM_B2 * v[k] + (1 - _ADAM_B2) * grads[k] ** 2 for k in v}
-            c1 = 1.0 - _ADAM_B1**t
-            c2 = 1.0 - _ADAM_B2**t
-            params = {
-                k: params[k] - lr * (m[k] / c1) / (jnp.sqrt(v[k] / c2) + _ADAM_EPS)
-                for k in params
-            }
-            return (params, m, v, best, best_select, bars), None
+                # adam (matches optax.adam/torch defaults incl. bias correction)
+                t = (j + 1).astype(jnp.float32)
+                m = {k: _ADAM_B1 * m[k] + (1 - _ADAM_B1) * grads[k] for k in m}
+                v = {k: _ADAM_B2 * v[k] + (1 - _ADAM_B2) * grads[k] ** 2 for k in v}
+                c1 = 1.0 - _ADAM_B1**t
+                c2 = 1.0 - _ADAM_B2**t
+                params = {
+                    k: params[k] - lr * (m[k] / c1) / (jnp.sqrt(v[k] / c2) + _ADAM_EPS)
+                    for k in params
+                }
+                return (params, m, v, best, best_select, bars), None
 
-        init = (
+            return step
+
+        carry = (
             params,
             m,
             v,
@@ -446,10 +500,28 @@ def run_all_stages_fused(
             jnp.full((B,), jnp.inf, jnp.float32),
             jnp.zeros((len(filter_names), B), jnp.float32),
         )
-        (params, _, _, best, _, _), _ = jax.lax.scan(
-            step, init, jnp.arange(s0.epoch + 1)
-        )
-        return best, None
+        steps = s0.epoch + 1
+        if not config.loop_collision_lazy_reselect:
+            carry, _ = jax.lax.scan(make_step(None), carry, jnp.arange(steps))
+        else:
+            freq = config.save_mid_freq
+            nblocks, tail = divmod(steps, freq)
+
+            def block(carry, b):
+                coll_idx = _lazy_coll_indices(model, carry[0], config)
+                carry, _ = jax.lax.scan(
+                    make_step(coll_idx), carry, b * freq + jnp.arange(freq)
+                )
+                return carry, None
+
+            if nblocks:
+                carry, _ = jax.lax.scan(block, carry, jnp.arange(nblocks))
+            if tail:
+                coll_idx = _lazy_coll_indices(model, carry[0], config)
+                carry, _ = jax.lax.scan(
+                    make_step(coll_idx), carry, nblocks * freq + jnp.arange(tail)
+                )
+        return carry[3], None
 
     stage_consts = (masks, lrs, weights)
     params, _ = jax.lax.scan(stage_body, params, stage_consts)

@@ -23,9 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SEEDS = int(os.environ.get("IHMR_STUDY_SEEDS", "8"))
+SEEDS = int(os.environ.get("IHMR_STUDY_SEEDS", "16"))
 BATCHES = tuple(int(b) for b in os.environ.get("IHMR_STUDY_BATCHES", "64,128").split(","))
-CONFIGS = ((1, 1), (2, 2), (2, 4), (4, 4))
+# (vertex_sub, face_sub, lazy_reselect); strict reference = (1, 1, False)
+# (1, 1, True) is the SHIPPING default; (2, 2, *) is the fast knob
+CONFIGS = ((1, 1, False), (1, 1, True), (2, 2, True), (2, 2, False))
 
 
 def main():
@@ -48,11 +50,12 @@ def main():
     rows = []
     for bench in ("standard", "interlocked"):
         for B in BATCHES:
-            for sub, fsub in CONFIGS:
+            for sub, fsub, lazy in CONFIGS:
                 cfg = OptConfig(
                     save_mid_freq=10,
                     loop_collision_subsample=sub,
                     loop_collision_face_subsample=fsub,
+                    loop_collision_lazy_reselect=lazy,
                 )
                 coll, j3dp, dmean, dmax = [], [], [], []
                 t0 = time.perf_counter()
@@ -80,6 +83,7 @@ def main():
                     batch=B,
                     sub=sub,
                     fsub=fsub,
+                    lazy=lazy,
                     coll_mean=float(np.mean(coll)),
                     coll_std=float(np.std(coll)),
                     j3d_mean=float(np.mean(j3dp)),
@@ -92,7 +96,7 @@ def main():
                 )
                 rows.append(row)
                 print(
-                    f"{bench:12s} B={B:<4d} sub={sub} fsub={fsub}: "
+                    f"{bench:12s} B={B:<4d} sub={sub} fsub={fsub} lazy={int(lazy)}: "
                     f"coll={row['coll_mean']:.4f}+/-{row['coll_std']:.4f}  "
                     f"j3d={row['j3d_mean']:.3f}+/-{row['j3d_std']:.3f}  "
                     f"pen_depth={row['depth_mean']:.5f} max={row['depth_max_mean']:.5f} "
@@ -111,12 +115,12 @@ def main():
     # seed-to-seed scatter; a config passes a cell when its mean paired
     # collision regression is within 2 standard errors of the paired diff.
     print("\npaired verdicts (mean per-seed collision diff vs strict +/- 2se):")
-    ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1)}
+    ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1, False)}
     for bench in ("standard", "interlocked"):
         for B in BATCHES:
-            r = {((row["sub"], row["fsub"])): row for row in rows
+            r = {((row["sub"], row["fsub"], row["lazy"])): row for row in rows
                  if row["bench"] == bench and row["batch"] == B}
-            strict = np.asarray(r[(1, 1)]["coll_per_seed"])
+            strict = np.asarray(r[(1, 1, False)]["coll_per_seed"])
             for cfg in ok:
                 fast = np.asarray(r[cfg]["coll_per_seed"])
                 d = fast - strict
@@ -124,10 +128,10 @@ def main():
                 verdict = "OK" if d.mean() <= 2 * se else "WORSE"
                 if verdict == "WORSE":
                     ok[cfg] = False
-                print(f"  {bench:12s} B={B:<4d} sub={cfg[0]} fsub={cfg[1]}: "
+                print(f"  {bench:12s} B={B:<4d} sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])}: "
                       f"{d.mean():+.4f} +/- {2 * se:.4f}  {verdict}")
     for cfg, good in ok.items():
-        print(f"CONFIG sub={cfg[0]} fsub={cfg[1]}: "
+        print(f"CONFIG sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])}: "
               + ("within noise of strict on every cell" if good else "DEGRADES QUALITY"))
 
 

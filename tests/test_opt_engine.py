@@ -193,6 +193,7 @@ class TestFusedEngine:
             save_mid_freq=2,
             loop_collision_subsample=1,
             loop_collision_face_subsample=1,
+            loop_collision_lazy_reselect=False,  # run_stage is always eager
         )
 
         seq = dict(params)
@@ -204,8 +205,10 @@ class TestFusedEngine:
                 np.asarray(fused[k]), np.asarray(seq[k]), atol=2e-5, err_msg=k
             )
 
-    def test_fused_matches_per_stage_at_shipping_subsample(self, model, inputs):
-        """Equivalence at the SHIPPING defaults (sub=2, fsub=2).
+    def test_fused_matches_per_stage_at_subsampled_fast_knob(self, model, inputs):
+        """Equivalence at the subsampled fast knob (sub=2, fsub=2 — the
+        supported speed/contact-fidelity tradeoff; shipping default is full
+        sampling, see OptConfig).
 
         Why short-horizon: at sub=2/fsub=2 the nearest-face RANKING runs in
         bf16, so near-tied faces exist for many vertices; a ~1e-7 parameter
@@ -237,6 +240,7 @@ class TestFusedEngine:
             save_mid_freq=2,
             loop_collision_subsample=2,
             loop_collision_face_subsample=2,
+            loop_collision_lazy_reselect=False,  # run_stage is always eager
         )
 
         seq = dict(params)
@@ -253,6 +257,34 @@ class TestFusedEngine:
             per_sample = np.maximum(per_sample, diff.max(axis=-1))
             assert diff.max() < 3e-2, (k, diff.max())
         assert np.mean(per_sample < 1e-5) >= 0.5, per_sample
+
+    def test_lazy_reselect_quality_and_mechanics(self, model, inputs):
+        """Lazy nearest-face reselection (one selection per snapshot period)
+        must preserve refinement quality: the lazy output's select loss may
+        not be worse than the eager engine's beyond small-trajectory noise,
+        and must improve on the initial params (snapshot-0 fallback still
+        enforced). Exercises the block+tail scan structure (11 steps at
+        freq=5 -> 2 full blocks + 1 tail step)."""
+        from ihmr_tpu.refine.opt_engine import run_all_stages_fused
+
+        params, batch = inputs
+        strategy = _short_strategy(epochs=10)
+        eager_cfg = OptConfig(save_mid_freq=5, loop_collision_lazy_reselect=False)
+        lazy_cfg = OptConfig(save_mid_freq=5, loop_collision_lazy_reselect=True)
+
+        eager = run_all_stages_fused(model, params, batch, strategy, eager_cfg)
+        lazy = run_all_stages_fused(model, params, batch, strategy, lazy_cfg)
+
+        w = dict(opt_default[0].weights)
+        _, a0 = compute_losses(model, params, batch, w, eager_cfg)
+        _, ae = compute_losses(model, eager, batch, w, eager_cfg)
+        _, al = compute_losses(model, lazy, batch, w, eager_cfg)
+        s0 = np.asarray(a0["joints_3d_loss_p_batch"])
+        se = np.asarray(ae["joints_3d_loss_p_batch"])
+        sl = np.asarray(al["joints_3d_loss_p_batch"])
+        assert np.all(sl <= s0 + 1e-5)  # never worse than init (snapshot 0)
+        # tracks the eager engine's quality (not its exact trajectory)
+        assert np.mean(sl) <= np.mean(se) * 1.2 + 1e-4
 
     def test_non_fusable_strategy_detected(self):
         import dataclasses
