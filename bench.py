@@ -7,13 +7,12 @@ the loop, snapshot filter/select semantics identical to the reference
 (save_mid_freq=10, matching bash/optimize.sh:11) — for a batch of images,
 entirely on-device as one jitted program per stage.
 
-The headline runs the VERIFIED default configuration: every-vertex /
-every-face in-loop collision (the reference's own sampling density) with
-lazy nearest-face reselection, proven statistically identical to strict
-every-step selection by the 16-seed paired study (docs/quality_study.json;
-OptConfig docstrings). A 2x-faster subsampled mode exists
-(IHMR_BENCH_SUBSAMPLE=2) but leaves measurable residual collision on deep
-interlocked contacts, so it is NOT the headline.
+The headline runs the VERIFIED default configuration: stride-2 query
+sampling against the FULL mesh with lazy nearest-face reselection — proven
+statistically identical to strict every-vertex/every-step sampling by
+16-seed paired studies on both the standard and the adversarial interlocked
+benchmarks (docs/quality_study.json; OptConfig docstrings). Set
+IHMR_BENCH_SUBSAMPLE=1 for the strict configuration.
 
 Baseline: the reference publishes no numbers (BASELINE.md). ``VS_BASELINE_
 REF`` is an *estimate* of the reference pipeline on one A100: the CUDA SDF
@@ -35,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 VS_BASELINE_REF = 3.5  # estimated reference hands/sec on one A100 (see docstring)
 BATCH = int(os.environ.get("IHMR_BENCH_BATCH", "128"))
-SUBSAMPLE = int(os.environ.get("IHMR_BENCH_SUBSAMPLE", "1"))
+SUBSAMPLE = int(os.environ.get("IHMR_BENCH_SUBSAMPLE", "2"))
 REPEATS = int(os.environ.get("IHMR_BENCH_REPEATS", "3"))
 
 

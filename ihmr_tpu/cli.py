@@ -391,12 +391,12 @@ def main(argv=None):
     p.add_argument("--save_mid_freq", type=int, default=10)
     p.add_argument("--stage_epochs", type=int, default=None,
                    help="override every stage's step count (fast runs/smoke tests)")
-    p.add_argument("--loop_collision_subsample", type=int, default=1,
-                   help="in-loop collision vertex stride (1 = every vertex — "
-                        "the verified default; 2 = fast knob that leaves "
-                        "residual collision on deep interlocked contacts, "
-                        "see docs/quality_study.json)")
-    p.add_argument("--loop_collision_face_subsample", type=int, default=1,
+    p.add_argument("--loop_collision_subsample", type=int, default=2,
+                   help="in-loop collision QUERY-vertex stride (default 2, "
+                        "verified identical to every-vertex sampling by the "
+                        "16-seed paired study in docs/quality_study.json; "
+                        "1 = strict)")
+    p.add_argument("--loop_collision_face_subsample", type=int, default=2,
                    help="in-loop collision target-face stride (Morton-sorted "
                         "faces, so >1 is a uniform coarse cover; final "
                         "metrics always use every face)")

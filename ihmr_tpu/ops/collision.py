@@ -181,11 +181,19 @@ def _pair_depths(
     faces_right: jnp.ndarray,
     faces_left: jnp.ndarray,
     num_candidates: int,
+    query_subsample: int = 1,
 ) -> jnp.ndarray:
-    """(1556,) raw penetration depths: right verts into left mesh, then
-    left verts into right mesh."""
-    d_r = penetration_depth(right_verts, left_verts, faces_left, num_candidates)
-    d_l = penetration_depth(left_verts, right_verts, faces_right, num_candidates)
+    """(2*Vq,) raw penetration depths: right verts into left mesh, then
+    left verts into right mesh.
+
+    ``query_subsample`` strides the QUERY side only — the mesh side must
+    stay full because ``faces`` index the full vertex array (passing a
+    strided array as the mesh silently clamps out-of-bounds gathers under
+    jit into degenerate triangles; this was a real round-1 bug in the
+    subsampled in-loop path, caught by an eager numpy IndexError)."""
+    s = query_subsample
+    d_r = penetration_depth(right_verts[::s], left_verts, faces_left, num_candidates)
+    d_l = penetration_depth(left_verts[::s], right_verts, faces_right, num_candidates)
     return jnp.concatenate([d_r, d_l], axis=0)
 
 
@@ -256,9 +264,12 @@ def penetration_depth_2level(
     return jnp.where(inside, dist, 0.0)
 
 
-def _pair_depths_2level(right_verts, left_verts, faces_right, faces_left, group):
-    d_r = penetration_depth_2level(right_verts, left_verts, faces_left, group)
-    d_l = penetration_depth_2level(left_verts, right_verts, faces_right, group)
+def _pair_depths_2level(
+    query_r, query_l, mesh_r, mesh_l, faces_right, faces_left, group
+):
+    """Queries may be strided; mesh sides must be the FULL vertex arrays."""
+    d_r = penetration_depth_2level(query_r, mesh_l, faces_left, group)
+    d_l = penetration_depth_2level(query_l, mesh_r, faces_right, group)
     return jnp.concatenate([d_r, d_l], axis=0)
 
 
@@ -308,25 +319,29 @@ def penetration_depth_at(
 
 
 def pair_indices(
-    right_verts: jnp.ndarray,  # (B, Vq, 3)
-    left_verts: jnp.ndarray,  # (B, Vq, 3)
+    query_r: jnp.ndarray,  # (B, Vq, 3) possibly-strided right QUERY verts
+    query_l: jnp.ndarray,  # (B, Vq, 3)
+    mesh_r: jnp.ndarray,  # (B, 778, 3) FULL vertex arrays (faces index these)
+    mesh_l: jnp.ndarray,  # (B, 778, 3)
     faces_right: jnp.ndarray,
     faces_left: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched nearest-face selections for both directions: (idx_r, idx_l),
-    each (B, Vq) int32 — right verts vs left mesh, left verts vs right."""
+    each (B, Vq) int32 — right queries vs FULL left mesh, and vice versa."""
     idx_r = jax.vmap(lambda q, m: nearest_face_indices(q, m, faces_left))(
-        right_verts, left_verts
+        query_r, mesh_l
     )
     idx_l = jax.vmap(lambda q, m: nearest_face_indices(q, m, faces_right))(
-        left_verts, right_verts
+        query_l, mesh_r
     )
     return idx_r, idx_l
 
 
 def pair_depths_at(
-    right_verts: jnp.ndarray,  # (B, Vq, 3)
-    left_verts: jnp.ndarray,  # (B, Vq, 3)
+    query_r: jnp.ndarray,  # (B, Vq, 3) possibly-strided right QUERY verts
+    query_l: jnp.ndarray,  # (B, Vq, 3)
+    mesh_r: jnp.ndarray,  # (B, 778, 3) FULL vertex arrays (faces index these)
+    mesh_l: jnp.ndarray,  # (B, 778, 3)
     faces_right: jnp.ndarray,
     faces_left: jnp.ndarray,
     idx_r: jnp.ndarray,  # (B, Vq)
@@ -334,10 +349,10 @@ def pair_depths_at(
 ) -> jnp.ndarray:
     """(B, 2*Vq) depths at frozen face selections (both directions)."""
     d_r = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_left, i))(
-        right_verts, left_verts, idx_r
+        query_r, mesh_l, idx_r
     )
     d_l = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_right, i))(
-        left_verts, right_verts, idx_l
+        query_l, mesh_r, idx_l
     )
     return jnp.concatenate([d_r, d_l], axis=1)
 
@@ -369,13 +384,23 @@ def penetration_depth_fast(
     return jnp.where(inside, dist, 0.0)
 
 
-def _pair_depths_fast(right_verts, left_verts, faces_right, faces_left):
-    d_r = penetration_depth_fast(right_verts, left_verts, faces_left)
-    d_l = penetration_depth_fast(left_verts, right_verts, faces_right)
+def _pair_depths_fast(right_verts, left_verts, faces_right, faces_left, query_subsample=1):
+    s = query_subsample
+    d_r = penetration_depth_fast(right_verts[::s], left_verts, faces_left)
+    d_l = penetration_depth_fast(left_verts[::s], right_verts, faces_right)
     return jnp.concatenate([d_r, d_l], axis=0)
 
 
-@partial(jax.jit, static_argnames=("num_candidates", "robustifier", "backend", "cluster_group"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_candidates",
+        "robustifier",
+        "backend",
+        "cluster_group",
+        "query_subsample",
+    ),
+)
 def collision_loss(
     right_verts: jnp.ndarray,  # (B, 778, 3)
     left_verts: jnp.ndarray,  # (B, 778, 3)
@@ -386,12 +411,18 @@ def collision_loss(
     num_candidates: int = 8,
     backend: str = "auto",
     cluster_group: int = 8,
+    query_subsample: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reference-contract collision loss (see module docstring).
 
-    Returns (mean_loss (), per_sample (B,), per_vert_origin_scale (B, 1556)).
-    Non-interacting samples (sum(hand_type) <= 1.5) contribute zero loss but
-    keep their raw origin-scale depths (ref loss_utils.py:186-189).
+    Returns (mean_loss (), per_sample (B,), per_vert_origin_scale (B, 2*Vq);
+    Vq = 778 // query_subsample). Non-interacting samples
+    (sum(hand_type) <= 1.5) contribute zero loss but keep their raw
+    origin-scale depths (ref loss_utils.py:186-189).
+
+    ``query_subsample`` strides the query vertices of EACH direction; the
+    mesh side always stays full (faces index the full vertex array — see
+    _pair_depths).
 
     backend: 'auto' (pallas on TPU, xla elsewhere), 'xla' (candidate +
     refine composite), 'pallas' (fused exact single-pass kernel; see
@@ -400,11 +431,14 @@ def collision_loss(
     (hierarchical nearest-centroid hot-loop variant; ``cluster_group``
     consecutive Morton-sorted faces per cluster).
     """
+    s = query_subsample
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     if backend == "2level":
         depths = jax.vmap(
-            lambda r, l: _pair_depths_2level(r, l, faces_right, faces_left, cluster_group)
+            lambda r, l: _pair_depths_2level(
+                r[::s], l[::s], r, l, faces_right, faces_left, cluster_group
+            )
         )(right_verts, left_verts)
     elif backend == "fast":
         # hot-loop variant: nearest-centroid pallas kernel on TPU; on other
@@ -412,23 +446,24 @@ def collision_loss(
         # dominate CPU test time)
         if jax.devices()[0].platform == "tpu":
             depths = jax.vmap(
-                lambda r, l: _pair_depths_fast(r, l, faces_right, faces_left)
+                lambda r, l: _pair_depths_fast(r, l, faces_right, faces_left, s)
             )(right_verts, left_verts)
         else:
             depths = jax.vmap(
-                lambda r, l: _pair_depths(r, l, faces_right, faces_left, 1)
+                lambda r, l: _pair_depths(r, l, faces_right, faces_left, 1, s)
             )(right_verts, left_verts)
     elif backend == "pallas":
         from ihmr_tpu.ops.pallas_collision import pair_depths_pallas
 
+        assert s == 1, "the exact metrics kernel always runs at full sampling"
         depths = jax.vmap(
             lambda r, l: pair_depths_pallas(r, l, faces_right, faces_left)
         )(right_verts, left_verts)  # (B, 1556)
     else:
         assert backend == "xla", backend
         depths = jax.vmap(
-            lambda r, l: _pair_depths(r, l, faces_right, faces_left, num_candidates)
-        )(right_verts, left_verts)  # (B, 1556)
+            lambda r, l: _pair_depths(r, l, faces_right, faces_left, num_candidates, s)
+        )(right_verts, left_verts)  # (B, 2*Vq)
 
     return depths_to_loss(depths, right_verts, left_verts, hand_type_array, robustifier)
 

@@ -79,24 +79,22 @@ class OptConfig:
     # to its accuracy profile than the exact kernel, which is reserved for
     # the final metrics pass (~2x end-to-end throughput).
     loop_collision_fast: bool = flax.struct.field(pytree_node=False, default=True)
-    # evaluate the in-loop collision on every k-th vertex only (loss
-    # rescaled to keep magnitude). DEFAULT 1 (every vertex, the reference's
-    # sampling): a 16-seed paired study on the interlocked deep-contact
-    # benchmark showed vertex stride 2 leaves +60% residual collision
-    # (+2.0 +/- 1.1 paired vs strict at final-exact metrics) — strided
-    # vertices exert no push, so deep contacts park half-resolved; the
-    # weaker 8-seed round-1 study missed this. sub=2 remains a supported
-    # fast knob where contact fidelity is secondary (it leaves GT-joint
-    # metrics unchanged or better).
-    loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=1)
+    # evaluate the in-loop collision on every k-th QUERY vertex only (loss
+    # rescaled to keep magnitude; the mesh side always stays full — passing
+    # a strided array as the mesh was a real round-1 bug whose out-of-bounds
+    # face gathers silently clamped under jit into degenerate triangles).
+    # DEFAULT 2: with the mesh-side bug FIXED, a 16-seed paired study on the
+    # adversarial interlocked deep-contact benchmark measures stride 2 as
+    # statistically identical to every-vertex sampling (-0.17 +/- 0.55
+    # paired final-exact collision; docs/quality_study.json). Before the fix
+    # the same study showed +2.0 +/- 1.1 — the interlocked benchmark is what
+    # exposed the bug. Set 1 for strict every-vertex sampling.
+    loop_collision_subsample: int = flax.struct.field(pytree_node=False, default=2)
     # evaluate the in-loop collision against every k-th FACE of the target
     # mesh (Morton-sorted at load, so a strided subset is a spatially
-    # uniform cover). DEFAULT 1; the same 16-seed study attributes the
-    # subsampling quality loss to the VERTEX stride, not the face stride
-    # ((2,1) and (2,2) are statistically identical), but face striding is
-    # pointless at the default since lazy reselection (below) already
-    # amortizes the F-dependent ranking cost.
-    loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=1)
+    # uniform sub-mesh over the FULL vertex array — always valid). DEFAULT 2,
+    # verified by the same paired study.
+    loop_collision_face_subsample: int = flax.struct.field(pytree_node=False, default=2)
     # in-loop nearest-face search: 0 = flat (V, F) nearest-centroid ranking
     # (DEFAULT); g > 0 = two-level hierarchy over groups of g Morton-adjacent
     # faces (ops.collision.penetration_depth_2level). The hierarchy does ~7x
@@ -108,6 +106,16 @@ class OptConfig:
     # fused argmin); its cost is VPU-bound and scales with V*F, so the
     # supported fast knobs are the vertex/face subsample factors above.
     loop_collision_cluster: int = flax.struct.field(pytree_node=False, default=0)
+    # Alternate the vertex-subset OFFSET each step when subsampling
+    # (loop_collision_subsample == 2 only): even-indexed vertices on even
+    # steps, odd on odd steps, so EVERY vertex exerts collision pressure
+    # every other step at stride-2 cost — full effective coverage without
+    # the deep-contact blind spots of a fixed stride (the failure mode that
+    # rejected fixed sub=2, see loop_collision_subsample above). Snapshots
+    # land on even steps (save_mid_freq is even in practice), so
+    # filter/select comparisons always score the same (even) subset.
+    # Quality gate: scripts/quality_study.py 16-seed paired vs strict.
+    loop_collision_alternate: bool = flax.struct.field(pytree_node=False, default=False)
     # Fused-engine option (DEFAULT ON): recompute the per-vertex
     # nearest-face SELECTION once per snapshot period (save_mid_freq steps)
     # instead of every step, while the selected faces' positions still track
@@ -118,10 +126,11 @@ class OptConfig:
     # discrete, gradient-free decision that changes slowly across Adam steps
     # (verts move ~mm/step); staleness is bounded by one snapshot period,
     # and every SNAPSHOT's filter/select losses use a fresh selection.
-    # Verified quality-free: 16-seed paired study on the interlocked
-    # deep-contact benchmark, (1,1,lazy) vs strict = -0.11 +/- 0.49 (also
-    # identical GT-joint error). Only the fused engine honors this; the
-    # per-stage fallback engine always reselects every step.
+    # Verified quality-free: 16-seed paired studies on the interlocked
+    # deep-contact benchmark, (1,1,lazy) vs strict = -0.11 +/- 0.49 and
+    # (2,2,lazy) vs (1,1,lazy) = -0.17 +/- 0.55 (GT-joint error identical).
+    # Only the fused engine honors this; the per-stage fallback engine
+    # always reselects every step.
     loop_collision_lazy_reselect: bool = flax.struct.field(pytree_node=False, default=True)
 
 
@@ -187,6 +196,7 @@ def compute_losses(
     config: OptConfig,
     in_loop: bool = False,
     coll_idx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    coll_parity: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """All OPT losses (ref optimize_model.py:276-330).
 
@@ -242,23 +252,32 @@ def compute_losses(
         backend, num_candidates = config.collision_backend, config.num_candidates
     sub = config.loop_collision_subsample if in_loop else 1
     fsub = config.loop_collision_face_subsample if in_loop else 1
-    rv_s = rv[:, ::sub] if sub > 1 else rv
-    lv_s = lv[:, ::sub] if sub > 1 else lv
+    # faces may be strided (a Morton-uniform sub-mesh over the FULL vertex
+    # array — valid); vertex striding applies to the QUERY side only, the
+    # mesh stays full (faces index all 778 vertices)
     faces_r_s = model.faces[::fsub] if fsub > 1 else model.faces
     faces_l_s = faces_l[::fsub] if fsub > 1 else faces_l
     if in_loop and coll_idx is not None:
         # frozen nearest-face selection (recomputed by the caller once per
         # snapshot period): faces' POSITIONS track the current mesh, only
-        # the discrete selection is reused — see OptConfig.loop_collision_
-        # reselect_freq for the quality evidence
-        depths = pair_depths_at(rv_s, lv_s, faces_r_s, faces_l_s, *coll_idx)
+        # the discrete selection is reused — see
+        # OptConfig.loop_collision_lazy_reselect for the quality evidence
+        q_r, q_l = _query_subsets(rv, lv, sub, coll_parity)
+        depths = pair_depths_at(q_r, q_l, rv, lv, faces_r_s, faces_l_s, *coll_idx)
         coll, coll_batch, coll_origin = depths_to_loss(
-            depths, rv_s, lv_s, batch.hand_type_array, config.robustifier
+            depths, rv, lv, batch.hand_type_array, config.robustifier
+        )
+    elif in_loop and coll_parity is not None:
+        q_r, q_l = _query_subsets(rv, lv, sub, coll_parity)
+        idx = pair_indices(q_r, q_l, rv, lv, faces_r_s, faces_l_s)
+        depths = pair_depths_at(q_r, q_l, rv, lv, faces_r_s, faces_l_s, *idx)
+        coll, coll_batch, coll_origin = depths_to_loss(
+            depths, rv, lv, batch.hand_type_array, config.robustifier
         )
     else:
         coll, coll_batch, coll_origin = collision_loss(
-            rv_s,
-            lv_s,
+            rv,
+            lv,
             faces_r_s,
             faces_l_s,
             batch.hand_type_array,
@@ -266,6 +285,7 @@ def compute_losses(
             num_candidates=num_candidates,
             backend=backend,
             cluster_group=config.loop_collision_cluster,
+            query_subsample=sub,
         )
     if sub > 1:  # keep the loss magnitude comparable to full sampling
         coll = coll * sub
@@ -285,6 +305,21 @@ def compute_losses(
     aux["finger_reg_loss"] = finger_reg * weights["finger_reg_loss_weight"]
 
     return total, aux
+
+
+def _query_subsets(rv, lv, sub, parity):
+    """Collision QUERY subsets: fixed stride, or parity-alternating offset
+    (even-indexed vertices on even steps, odd on odd; full coverage every 2
+    steps at stride-2 cost). Both slices are cheap; the select is per-step."""
+    if sub == 2 and parity is not None:
+        even = parity == 0
+        return (
+            jnp.where(even, rv[:, 0::2], rv[:, 1::2]),
+            jnp.where(even, lv[:, 0::2], lv[:, 1::2]),
+        )
+    if sub > 1:
+        return rv[:, ::sub], lv[:, ::sub]
+    return rv, lv
 
 
 _FILTER_KEYS = {
@@ -410,18 +445,22 @@ def _stack_stage_constants(strategy: Tuple[Stage, ...]):
     return masks, lrs, weights
 
 
-def _lazy_coll_indices(model: ManoModel, p: ParamDict, config: OptConfig):
+def _lazy_coll_indices(model: ManoModel, p: ParamDict, config: OptConfig, parities):
     """Nearest-face selections for both directions at the CURRENT params,
-    matching compute_losses' in-loop vertex/face subsampling."""
+    matching compute_losses' in-loop query subsetting: one (idx_r, idx_l)
+    pair per entry of ``parities`` (None = fixed-stride subset), sharing a
+    single decode."""
     rv, lv, _, _ = forward(model, p)
     sub = config.loop_collision_subsample
     fsub = config.loop_collision_face_subsample
-    rv_s = rv[:, ::sub] if sub > 1 else rv
-    lv_s = lv[:, ::sub] if sub > 1 else lv
     faces_l = model.faces[:, ::-1]
     faces_r_s = model.faces[::fsub] if fsub > 1 else model.faces
     faces_l_s = faces_l[::fsub] if fsub > 1 else faces_l
-    return pair_indices(rv_s, lv_s, faces_r_s, faces_l_s)
+    out = []
+    for par in parities:
+        q_r, q_l = _query_subsets(rv, lv, sub, par)
+        out.append(pair_indices(q_r, q_l, rv, lv, faces_r_s, faces_l_s))
+    return tuple(out)
 
 
 def run_all_stages_fused(
@@ -449,10 +488,15 @@ def run_all_stages_fused(
     select_key = _FILTER_KEYS[s0.select_loss]
     B = batch.hand_type_array.shape[0]
 
-    def grad_fn(p, w, coll_idx=None):
+    alternate = (
+        config.loop_collision_alternate and config.loop_collision_subsample == 2
+    )
+
+    def grad_fn(p, w, coll_idx=None, parity=None):
         return jax.value_and_grad(
             lambda q: compute_losses(
-                model, q, batch, w, config, in_loop=True, coll_idx=coll_idx
+                model, q, batch, w, config,
+                in_loop=True, coll_idx=coll_idx, coll_parity=parity,
             ),
             has_aux=True,
         )(p)
@@ -462,10 +506,21 @@ def run_all_stages_fused(
         m = _tree_zeros(params)
         v = _tree_zeros(params)
 
-        def make_step(coll_idx):
+        def make_step(coll_idx_set):
             def step(carry, j):
                 params, m, v, best, best_select, bars = carry
-                (_, aux), grads = grad_fn(params, w, coll_idx)
+                parity = (j % 2) if alternate else None
+                if coll_idx_set is None:
+                    coll_idx = None
+                elif alternate:
+                    even = (j % 2) == 0
+                    coll_idx = tuple(
+                        jnp.where(even, e, o)
+                        for e, o in zip(coll_idx_set[0], coll_idx_set[1])
+                    )
+                else:
+                    coll_idx = coll_idx_set[0]
+                (_, aux), grads = grad_fn(params, w, coll_idx, parity)
                 grads = {k: grads[k] * mask[k] for k in grads}
 
                 cur = jnp.stack([aux[_FILTER_KEYS[n]] for n in filter_names], 0)  # (NF, B)
@@ -501,6 +556,8 @@ def run_all_stages_fused(
             jnp.zeros((len(filter_names), B), jnp.float32),
         )
         steps = s0.epoch + 1
+        # parities the selection must cover: fixed subset unless alternating
+        parities = (jnp.int32(0), jnp.int32(1)) if alternate else (None,)
         if not config.loop_collision_lazy_reselect:
             carry, _ = jax.lax.scan(make_step(None), carry, jnp.arange(steps))
         else:
@@ -508,18 +565,18 @@ def run_all_stages_fused(
             nblocks, tail = divmod(steps, freq)
 
             def block(carry, b):
-                coll_idx = _lazy_coll_indices(model, carry[0], config)
+                coll_idx_set = _lazy_coll_indices(model, carry[0], config, parities)
                 carry, _ = jax.lax.scan(
-                    make_step(coll_idx), carry, b * freq + jnp.arange(freq)
+                    make_step(coll_idx_set), carry, b * freq + jnp.arange(freq)
                 )
                 return carry, None
 
             if nblocks:
                 carry, _ = jax.lax.scan(block, carry, jnp.arange(nblocks))
             if tail:
-                coll_idx = _lazy_coll_indices(model, carry[0], config)
+                coll_idx_set = _lazy_coll_indices(model, carry[0], config, parities)
                 carry, _ = jax.lax.scan(
-                    make_step(coll_idx), carry, nblocks * freq + jnp.arange(tail)
+                    make_step(coll_idx_set), carry, nblocks * freq + jnp.arange(tail)
                 )
         return carry[3], None
 

@@ -286,6 +286,58 @@ class TestFusedEngine:
         # tracks the eager engine's quality (not its exact trajectory)
         assert np.mean(sl) <= np.mean(se) * 1.2 + 1e-4
 
+    def test_alternate_offset_sampling(self, model, inputs):
+        """The offset-alternating stride-2 query subset (full coverage every
+        2 steps) must run in both lazy and eager reselect modes and not
+        worsen the select loss vs the initial params."""
+        from ihmr_tpu.refine.opt_engine import run_all_stages_fused
+
+        params, batch = inputs
+        strategy = _short_strategy(epochs=6)
+        w = dict(opt_default[0].weights)
+        ref_cfg = OptConfig()
+        _, a0 = compute_losses(model, params, batch, w, ref_cfg)
+        s0 = np.asarray(a0["joints_3d_loss_p_batch"])
+        for lazy in (True, False):
+            cfg = OptConfig(
+                save_mid_freq=2,
+                loop_collision_subsample=2,
+                loop_collision_face_subsample=2,
+                loop_collision_alternate=True,
+                loop_collision_lazy_reselect=lazy,
+            )
+            out = run_all_stages_fused(model, params, batch, strategy, cfg)
+            _, a1 = compute_losses(model, out, batch, w, ref_cfg)
+            s1 = np.asarray(a1["joints_3d_loss_p_batch"])
+            assert np.isfinite(s1).all()
+            assert np.all(s1 <= s0 + 1e-5), lazy
+
+    def test_query_subsample_keeps_mesh_full(self, model):
+        """Regression guard for the round-1 OOB bug: subsampled in-loop
+        collision must evaluate strided QUERIES against the FULL mesh.
+        With the bug (strided mesh side), faces index past the array and
+        jit-mode gathers clamp into degenerate triangles; here we verify
+        the subsampled depths are exactly a subset of the full-sampling
+        depths."""
+        from ihmr_tpu.ops.collision import collision_loss
+
+        params, batch = make_opt_inputs(model, batch=2, seed=5, noise=0.2)
+        from ihmr_tpu.refine.opt_engine import forward as fwd
+
+        rv, lv, _, _ = fwd(model, params)
+        ht = jnp.ones((2, 2))
+        _, _, d_full = collision_loss(
+            rv, lv, model.faces, model.faces[:, ::-1], ht,
+            num_candidates=1, backend="xla",
+        )
+        _, _, d_sub = collision_loss(
+            rv, lv, model.faces, model.faces[:, ::-1], ht,
+            num_candidates=1, backend="xla", query_subsample=2,
+        )
+        d_full = np.asarray(d_full).reshape(2, 2, 778)  # (B, dir, V)
+        d_sub = np.asarray(d_sub).reshape(2, 2, 389)
+        np.testing.assert_allclose(d_sub, d_full[:, :, ::2], atol=1e-7)
+
     def test_non_fusable_strategy_detected(self):
         import dataclasses
 
