@@ -188,10 +188,11 @@ def train_mlp_stages(
                 )
                 n = int(batch.index.shape[0])
                 loss_stat.update({k: float(v) for k, v in metrics.items()}, n)
-                if is_main and (batch_idx + 1) % print_freq == 0:
+                printed_last = (batch_idx + 1) % print_freq == 0
+                if is_main and printed_last:
                     print(f"stage:{stage_id:02d} ", end="")
                     loss_stat.print_loss(batch_idx + 1)
-            if is_main:
+            if is_main and not printed_last:
                 print(f"stage:{stage_id:02d} ", end="")
                 loss_stat.print_loss(len(loader))
         # end-of-stage selection pass writes survivors back into the caches

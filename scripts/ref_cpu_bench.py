@@ -19,10 +19,15 @@ import types
 from types import SimpleNamespace
 
 # CPU-only run: the axon TPU plugin ignores JAX_PLATFORMS, so also set
-# JAX_PLATFORM_NAME and pin via jax.config after import (same workaround as
-# __graft_entry__.py)
+# JAX_PLATFORM_NAME and pin via jax.config IMMEDIATELY after the first jax
+# import, BEFORE any jax.devices() call initializes the backend registry
+# (same ordering as tests/conftest.py; doing the config update later leaves
+# the axon platform active and pallas tries to lower for TPU on CPU).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -101,8 +106,13 @@ def main():
     t_ours = time.perf_counter() - t0
     ours_hps = BATCH / t_ours
     print(f"rebuild jax-CPU OPT:     {t_ours:.1f}s -> {ours_hps:.2f} hands/sec")
-    print(f"SPEEDUP (same host CPU, same schedule, collision-free): "
-          f"{ours_hps / ref_hps:.1f}x")
+    print(
+        f"NOTE: the reference number is collision-FREE (its CUDA SDF cannot "
+        f"run here) — an upper bound on its CPU speed; the rebuild number "
+        f"includes the full in-loop collision. jax-CPU/torch-CPU ratio: "
+        f"{ours_hps / ref_hps:.2f}x (XLA:CPU is not the design point; see "
+        f"bench.py for the TPU number)."
+    )
 
 
 if __name__ == "__main__":
