@@ -167,6 +167,63 @@ def cmd_train_baseline(args):
     )
 
 
+def cmd_serve(args):
+    """Batched inference serving (ihmr_tpu.serve): micro-batching broker +
+    HTTP front end over the jitted IHMR-Baseline pipeline. A new capability
+    of the TPU rebuild (the reference has no serving layer)."""
+    import jax
+
+    from ihmr_tpu.models import InterHandEncoder
+    from ihmr_tpu.serve import InferenceServer, MicroBatcher, build_encoder_predict_fn
+    from ihmr_tpu.train import TrainConfig, create_state
+    from ihmr_tpu.train import checkpoint as ckpt
+
+    mano_right, _, _, _ = _load_mano(args)
+    encoder = InterHandEncoder(arch=args.main_encoder)
+    state = create_state(
+        encoder, _mean_params(args), TrainConfig(), jax.random.PRNGKey(0), args.inputSize
+    )
+    params = ckpt.load_network(args.checkpoints_dir, "baseline", args.test_epoch)
+    if params is not None:
+        state = state.replace(params=params)
+        stats = ckpt.load_network(args.checkpoints_dir, "baseline_stats", args.test_epoch)
+        if stats is not None:
+            state = state.replace(batch_stats=stats)
+        print(f"serving checkpoint '{args.test_epoch}' from {args.checkpoints_dir}")
+    else:
+        print("WARNING: no checkpoint found — serving a randomly-initialized encoder")
+
+    predict = build_encoder_predict_fn(
+        encoder,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        _mean_params(args),
+        mano_right,
+        args.inputSize,
+    )
+    # warm up: compile the serving program BEFORE accepting traffic (the
+    # first TPU compile takes ~30-60 s and must not count against a
+    # request's deadline)
+    import numpy as np
+    import time as _time
+
+    t0 = _time.perf_counter()
+    out = predict(np.zeros((args.serve_batch, args.inputSize, args.inputSize, 3), np.float32))
+    jax.block_until_ready(out["params"])
+    print(f"warmup compile: {_time.perf_counter() - t0:.1f}s", flush=True)
+
+    batcher = MicroBatcher(predict, args.serve_batch, max_wait_ms=args.max_wait_ms)
+    server = InferenceServer(batcher, (args.inputSize, args.inputSize, 3))
+    server.start(args.port)
+    print("POST /predict, GET /healthz, GET /stats — Ctrl-C to stop", flush=True)
+    try:
+        while True:
+            import time
+
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+
+
 def cmd_test_baseline(args):
     import jax
 
@@ -430,6 +487,16 @@ def main(argv=None):
     p.add_argument("--out_dir", default=None)
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(func=cmd_visualize)
+
+    p = sub.add_parser("serve", help="batched inference HTTP server")
+    _add_common(p)
+    p.add_argument("--test_epoch", default="latest")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--serve_batch", type=int, default=16,
+                   help="micro-batch size (one compiled program shape)")
+    p.add_argument("--max_wait_ms", type=float, default=10.0,
+                   help="max time to wait filling a micro-batch")
+    p.set_defaults(func=cmd_serve)
 
     args = parser.parse_args(argv)
     args.func(args)

@@ -136,10 +136,12 @@ def mano_decode(
 
     # forward kinematics along the (static) MANO tree. NOTE: a level-parallel
     # variant (the depth-4 tree as 3 batched (B,5,3,3) einsum levels instead
-    # of 15 sequential products) was built and MEASURED SLOWER end-to-end on
-    # v5e (105 -> 97 hands/sec at bench defaults): the tiny batched matmuls
-    # pad worse in lane layout than the sequential 3x3 chain, which XLA
-    # already overlaps with the surrounding blend-shape work.
+    # of 15 sequential products) was tried TWICE and rejected: at the eager
+    # defaults it measured 105 -> 97 hands/sec (tiny batched matmuls pad
+    # worse in lane layout than this chain, which XLA overlaps with the
+    # blend-shape work), and at the round-2 lazy defaults its fused program
+    # compiled pathologically (>12 min vs ~40 s) — the batched-level einsums
+    # inside the nested stage/block/step scans blow up XLA's scheduling.
     rel_j = j_rest - jnp.where(
         (MANO_PARENTS >= 0)[None, :, None],
         j_rest[:, jnp.maximum(MANO_PARENTS, 0)],

@@ -1,0 +1,224 @@
+"""Batched inference serving for IHMR models.
+
+The reference is a research pipeline with no serving layer; this module adds
+the production-deployment surface the TPU rebuild is meant for: a
+micro-batching request broker in front of the jitted predict function, plus
+a thin HTTP front end.
+
+Design (TPU-first):
+  * ONE jitted program at a FIXED batch size (TPU programs are compiled per
+    shape; padding to a fixed batch keeps a single hot executable).
+  * A broker thread collects requests for up to ``max_wait_ms`` or until the
+    batch is full, pads with the first request, runs the program once, and
+    fans results back out — classic micro-batching; per-request latency is
+    bounded by max_wait + one program execution.
+  * The HTTP layer is stdlib-only (TPU pods have no egress for deps), JSON
+    in/out: POST /predict {"images": [[H,W,3] float lists, ...]} ->
+    {"params": ..., "joints_3d": ..., "hand_type": ...}; GET /healthz;
+    GET /stats (queue depth, batches run, padding efficiency).
+
+`python -m ihmr_tpu.cli serve --port ...` wires this to a trained encoder;
+see tests/test_serve.py for the contract.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Collects single requests into fixed-size padded batches for a jitted
+    predict function ``fn(batch_input) -> dict of arrays`` (leading batch
+    dim on every output)."""
+
+    def __init__(self, fn: Callable, batch_size: int, max_wait_ms: float = 10.0):
+        self.fn = fn
+        self.batch_size = batch_size
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self._lock = threading.Lock()
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, x: np.ndarray):
+        """Enqueue ONE sample (no batch dim); returns a handle for wait()."""
+        done = threading.Event()
+        slot: Dict = {}
+        self._q.put((x, slot, done))
+        return slot, done
+
+    @staticmethod
+    def wait(handle, timeout: float = 30.0) -> Dict[str, np.ndarray]:
+        slot, done = handle
+        if not done.wait(timeout):
+            raise TimeoutError("predict timed out")
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["out"]
+
+    def predict(self, x: np.ndarray, timeout: float = 30.0) -> Dict[str, np.ndarray]:
+        """Submit ONE sample (no batch dim); blocks until its result."""
+        return self.wait(self.submit(x), timeout)
+
+    def predict_many(self, xs, timeout: float = 30.0) -> List[Dict[str, np.ndarray]]:
+        """Submit ALL samples first (so they co-batch), then gather."""
+        handles = [self.submit(x) for x in xs]
+        return [self.wait(h, timeout) for h in handles]
+
+    # ------------------------------------------------------------- broker
+    def _loop(self):
+        while self._running:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(items) < self.batch_size:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            xs = [np.asarray(x) for x, _, _ in items]
+            n = len(xs)
+            pad = self.batch_size - n
+            batch = np.stack(xs + [xs[0]] * pad, axis=0)
+            try:
+                out = self.fn(batch)
+                out = {k: np.asarray(v) for k, v in out.items()}
+                for i, (_, slot, done) in enumerate(items):
+                    slot["out"] = {k: v[i] for k, v in out.items()}
+                    done.set()
+            except Exception as e:  # propagate to all waiters
+                for _, slot, done in items:
+                    slot["error"] = repr(e)
+                    done.set()
+            with self._lock:
+                self._stats["requests"] += n
+                self._stats["batches"] += 1
+                self._stats["padded_slots"] += pad
+
+    def stats(self) -> Dict:
+        with self._lock:
+            s = dict(self._stats)
+        s["queue_depth"] = self._q.qsize()
+        if s["batches"]:
+            total = s["batches"] * self.batch_size
+            s["batch_efficiency"] = round(1.0 - s["padded_slots"] / total, 4)
+        return s
+
+    def stop(self):
+        self._running = False
+        self._thread.join(timeout=2)
+
+
+class InferenceServer:
+    """HTTP front end over a MicroBatcher."""
+
+    def __init__(self, batcher: MicroBatcher, input_shape):
+        self.batcher = batcher
+        self.input_shape = tuple(input_shape)
+        self._server: Optional[ThreadingHTTPServer] = None
+        self.port: Optional[int] = None
+
+    def start(self, port: int = 0) -> int:
+        srv = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code: int, payload: Dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._send(200, srv.batcher.stats())
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length))
+                    images = np.asarray(req["images"], np.float32)
+                    if images.ndim == len(srv.input_shape):  # single sample
+                        images = images[None]
+                    assert images.shape[1:] == srv.input_shape, (
+                        images.shape, srv.input_shape)
+                    outs: List[Dict] = [
+                        {k: v.tolist() for k, v in out.items()}
+                        for out in srv.batcher.predict_many(list(images))
+                    ]
+                    self._send(200, {"results": outs})
+                except Exception as e:
+                    self._send(400, {"error": repr(e)})
+
+        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self.port = self._server.server_address[1]
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        print(f"[serve] inference server at http://localhost:{self.port}/", flush=True)
+        return self.port
+
+    def stop(self):
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+        self.batcher.stop()
+
+
+def build_encoder_predict_fn(encoder, variables, mean_params, mano_right, input_size: int):
+    """images (B, S, S, 3) float [0,1] -> dict(params 122, joints_3d 42x3,
+    joints_2d 42x2, hand_type 2): the IHMR-Baseline inference pipeline as one
+    jitted program (normalization matching the reference's Normalize(.5,.5))."""
+    import jax
+    import jax.numpy as jnp
+
+    from ihmr_tpu.core.projection import orthographic_project
+    from ihmr_tpu.mano.layer import HandParams, two_hand_decode_mirrored
+
+    @jax.jit
+    def predict(images):
+        x = (images - 0.5) / 0.5
+        params, hand_type = encoder.apply(variables, x, mean_params)
+        hp = HandParams.from_flat(params)
+        _, _, joints3d = two_hand_decode_mirrored(
+            mano_right,
+            hp.right_orient, hp.left_orient,
+            hp.right_pose, hp.left_pose,
+            hp.right_shape, hp.left_shape,
+            hp.trans,
+        )
+        joints2d = orthographic_project(joints3d, hp.cam)
+        return {
+            "params": params,
+            "joints_3d": joints3d,
+            "joints_2d": joints2d,
+            "hand_type": hand_type,
+        }
+
+    return predict
