@@ -48,6 +48,11 @@ import numpy as np
 
 _EPS = 1e-12
 
+# frozen-path triangle build strategy (see penetration_depth_at)
+import os as _os
+
+_TRI_VIA_MATMUL = _os.environ.get("IHMR_TRI_VIA_MATMUL", "0") == "1"
+
 
 def point_triangle_closest(p: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     """Closest point on triangle(s) to point(s).
@@ -305,10 +310,22 @@ def penetration_depth_at(
     discrete selection is reused). Mesh side detached like all in-loop
     variants."""
     mesh_verts = jax.lax.stop_gradient(mesh_verts)
-    # same gather shape as the eager K=1 path: build (F, 9) then one 9-wide
-    # row gather — gathering (V*3,) 3-wide rows instead was measured ~2x
-    # slower end-to-end (TPU gathers want fat rows)
-    tri = mesh_verts[faces].reshape(-1, 9)  # (F, 9)
+    # Triangle build as a one-hot SELECTION MATMUL instead of a gather — a
+    # MEASURED NEGATIVE RESULT, kept env-gated for the record: the gather of
+    # F x 3 12-byte vertex rows runs ~6x off streaming bandwidth (thin rows;
+    # traced as the dominant pair of per-step fusions, ~0.31 ms both
+    # directions at B=128), and the hoped-for fix — a loop-invariant
+    # (F*3, Vm) one-hot matrix times the verts on the MXU at Precision.HIGH
+    # — measured 131.5 -> 123.7 hands/sec end-to-end: the 3-pass HIGH
+    # product costs more MXU time than the gather costs pipeline time.
+    if _TRI_VIA_MATMUL:
+        G = jax.nn.one_hot(faces.reshape(-1), mesh_verts.shape[0], dtype=mesh_verts.dtype)
+        tri = jnp.matmul(G, mesh_verts, precision=jax.lax.Precision.HIGH).reshape(-1, 9)
+    else:
+        # same gather shape as the eager K=1 path: build (F, 9) then one
+        # 9-wide row gather — gathering (V*3,) 3-wide rows instead was
+        # measured ~2x slower end-to-end (TPU gathers want fat rows)
+        tri = mesh_verts[faces].reshape(-1, 9)  # (F, 9)
     tri_best = tri[idx].reshape(-1, 3, 3)  # (V, 3, 3)
     closest = point_triangle_closest(query, tri_best)
     diff = query - closest
