@@ -71,7 +71,6 @@ def main():
     images = jnp.zeros((BATCH, 224, 224, 3), jnp.float32)
     variables = jax.device_put(variables, jax.devices()[0])
     mean_params = jax.device_put(mean_params, jax.devices()[0])
-    infer = jax.jit(lambda v, x: encoder.apply(v, x, mean_params))
 
     # --- OPT refinement (the hot workload); generate host-side, then pin
     # everything to the TPU once
@@ -82,18 +81,30 @@ def main():
     opt_batch = jax.device_put(opt_batch, device)
     config = OptConfig(save_mid_freq=10, loop_collision_subsample=SUBSAMPLE)
 
+    # the whole pipeline — encoder inference + full refinement — is ONE
+    # compiled program: one device dispatch per batch (the tunneled TPU
+    # costs ~10-30 ms per dispatch), and the TPU-idiomatic serving shape
+    @jax.jit
+    def pipeline(variables, images, params, opt_batch):
+        # returning the encoder outputs keeps the inference live (XLA would
+        # otherwise dead-code-eliminate it, since the bench refines the
+        # synthetic prediction rather than the encoder's)
+        pred_params, hand_type = encoder.apply(variables, images, mean_params)
+        out_params, results = optimize_batch(mano, params, opt_batch, opt_default, config)
+        return out_params, results, pred_params, hand_type
+
     t0 = time.perf_counter()
-    jax.block_until_ready(infer(variables, images))
-    out_params, results = optimize_batch(mano, params, opt_batch, opt_default, config)
-    jax.block_until_ready(out_params)
+    out = pipeline(variables, images, params, opt_batch)
+    jax.block_until_ready(out)
+    out_params, results = out[0], out[1]
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
     times = []
     for r in range(REPEATS):
         t0 = time.perf_counter()
-        pred, _ = infer(variables, images)
-        out_params, results = optimize_batch(mano, params, opt_batch, opt_default, config)
-        jax.block_until_ready(out_params)
+        out = pipeline(variables, images, params, opt_batch)
+        jax.block_until_ready(out)
+        out_params, results = out[0], out[1]
         dt = time.perf_counter() - t0
         times.append(dt)
         log(f"run {r}: {dt:.2f}s -> {BATCH / dt:.2f} hands/sec")
