@@ -344,7 +344,10 @@ def pair_indices(
     faces_left: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched nearest-face selections for both directions: (idx_r, idx_l),
-    each (B, Vq) int32 — right queries vs FULL left mesh, and vice versa."""
+    each (B, Vq) int32 — right queries vs FULL left mesh, and vice versa.
+
+    (A merged one-(2B)-call variant was measured slower — see
+    pair_depths_at.)"""
     idx_r = jax.vmap(lambda q, m: nearest_face_indices(q, m, faces_left))(
         query_r, mesh_l
     )
@@ -364,7 +367,13 @@ def pair_depths_at(
     idx_r: jnp.ndarray,  # (B, Vq)
     idx_l: jnp.ndarray,  # (B, Vq)
 ) -> jnp.ndarray:
-    """(B, 2*Vq) depths at frozen face selections (both directions)."""
+    """(B, 2*Vq) depths at frozen face selections (both directions).
+
+    NOTE: merging both directions into one (2B) batched call (shared tri
+    build via the winding-sign trick in _penetration_depth_at_signed) was
+    MEASURED SLOWER end-to-end, 131.5 -> 108.9 hands/sec: the per-step
+    (2B, V, 3) concatenations of queries/meshes/indices cost more than the
+    kernel fusion saves. Two per-direction calls stay."""
     d_r = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_left, i))(
         query_r, mesh_l, idx_r
     )
