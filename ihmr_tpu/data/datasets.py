@@ -142,6 +142,11 @@ class BaselineDataset:
             self.num_add = 0
         else:
             bs = self.config.batch_size * self.config.world_size
+            # deliberate deviation: ref baseline_dataset.py:57-64 pads a FULL
+            # extra batch when len is already divisible (num_add = bs, never
+            # 0); the evaluator dedups the padding either way (remove_redunc),
+            # so metrics are identical — we skip the wasted batch. The ref's
+            # own MLP/OPT datasets apply the same fix (mlp_dataset.py:49-51).
             self.num_add = (bs - len(data_list) % bs) % bs
             self.data_list = data_list + data_list[0:1] * self.num_add
 
@@ -248,6 +253,9 @@ class PredictionDataset(BaselineDataset):
 
     with_image: bool = True
     with_feat: bool = True
+    # ref mlp_dataset.py:117-131: hands with a None MANO param fall back to
+    # the OPT pseudo-GT keys (MLP only; OPT keeps validity-0 zeros)
+    fallback_opt_params: bool = False
 
     def load_data(self):
         data_list = load_anno_pred_data(
@@ -277,21 +285,48 @@ class PredictionDataset(BaselineDataset):
         if "param_path" in single:
             param = io_utils.load_pkl(osp.join(self.config.param_root, single["param_path"]))
             single = {**single, **param}
-        img = self._load_image(single) if self.with_image else None
+        # the image is ALWAYS loaded: even when it is not emitted (OPT), its
+        # dimensions set the letterbox ratio applied to the GT and init 2D
+        # joints before [-1,1] normalization (ref opt_dataset.py loads images
+        # too and letterboxes joints with the image ratio — the round-3
+        # dataset oracle caught OPT joints skipping the ratio here)
+        img = self._load_image(single)
         (hand_type_array, hand_type_valid, joints_2d, joints_3d, scale, pose, betas, weight) = (
             self._common_fields(single)
         )
+        if self.fallback_opt_params and not self.config.use_opt_params:
+            # ref mlp_dataset.py:117-131: a hand whose MANO param is None
+            # takes its GT from the OPT pseudo-GT arrays (either key
+            # spelling), with validity 1 — even with use_opt_params off
+            opt_pose = single.get("opt_pose_params", single.get("pose_params_opt"))
+            opt_shape = single.get("opt_shape_params", single.get("shape_params_opt"))
+            if opt_pose is not None:
+                opt_pose = np.asarray(opt_pose, np.float32).reshape(96)
+                opt_shape = np.asarray(opt_shape, np.float32).reshape(20)
+                for wi, ps, bs in ((0, 0, 0), (1, 48, 10)):
+                    if weight[wi] == 0.0:
+                        pose[ps : ps + 48] = opt_pose[ps : ps + 48]
+                        betas[bs : bs + 10] = opt_shape[bs : bs + 10]
+                        weight[wi] = 1.0
 
         opt_trans = None
-        if self.config.use_opt_params and "opt_pose_params" in single:
-            # OPT pseudo-GT replaces the MANO GT (ref mlp_dataset.py:117-145)
-            pose = np.asarray(single["opt_pose_params"], np.float32)
-            betas = np.asarray(single["opt_shape_params"], np.float32)
-            weight = np.ones(2, np.float32)
-            if "opt_hand_trans" in single:  # ref :142-145
+        if self.config.use_opt_params:
+            # OPT pseudo-GT replaces the MANO GT (ref mlp_dataset.py:117-145).
+            # Accept BOTH key spellings: the reference's own annotation pkls
+            # carry 'pose_params_opt'/'shape_params_opt'/'hand_trans_opt'
+            # (ref mlp_dataset.py:124-125,143); our export chain writes
+            # 'opt_pose_params'/... (eval/export.py) — a migrating reference
+            # user's files load unchanged.
+            opt_pose = single.get("opt_pose_params", single.get("pose_params_opt"))
+            opt_shape = single.get("opt_shape_params", single.get("shape_params_opt"))
+            if opt_pose is not None:
+                pose = np.asarray(opt_pose, np.float32).reshape(96)
+                betas = np.asarray(opt_shape, np.float32).reshape(20)
+                weight = np.ones(2, np.float32)
+            ot = single.get("opt_hand_trans", single.get("hand_trans_opt"))
+            if ot is not None:  # ref :142-145 overrides trans with validity 1
                 opt_trans = np.concatenate(
-                    [np.asarray(single["opt_hand_trans"], np.float32).reshape(3),
-                     np.ones(1, np.float32)]
+                    [np.asarray(ot, np.float32).reshape(3), np.ones(1, np.float32)]
                 ).reshape(1, 4)
 
         init_cam = np.asarray(single["pred_cam_params"], np.float32).reshape(3)
@@ -303,25 +338,22 @@ class PredictionDataset(BaselineDataset):
 
         # letterbox both GT and init 2D joints with the image ratio; the
         # native C++ path fuses resize+normalize (no flips on this path)
-        if img is not None:
-            img_out = None
-            try:
-                from ihmr_tpu import native
+        img_out = None
+        try:
+            from ihmr_tpu import native
 
-                if native.available():
-                    img_out, ratio = native.letterbox_normalize(img, self.config.input_size)
-                    joints_2d = joints_2d.copy()
-                    joints_2d[:, :2] *= ratio
-                    init_j2 = init_j2.copy()
-                    init_j2[:, :2] *= ratio
-            except Exception:
-                img_out = None
-            if img_out is None:
-                img_proc, joints_2d = pp.padding_and_resize(img, joints_2d, self.config.input_size)
-                _, init_j2 = pp.padding_and_resize(img, init_j2, self.config.input_size)
-                img_out = pp.normalize_image(img_proc)
-        else:
+            if native.available():
+                img_out, ratio = native.letterbox_normalize(img, self.config.input_size)
+                joints_2d = joints_2d.copy()
+                joints_2d[:, :2] *= ratio
+                init_j2 = init_j2.copy()
+                init_j2[:, :2] *= ratio
+        except Exception:
             img_out = None
+        if img_out is None:
+            img_proc, joints_2d = pp.padding_and_resize(img, joints_2d, self.config.input_size)
+            _, init_j2 = pp.padding_and_resize(img, init_j2, self.config.input_size)
+            img_out = pp.normalize_image(img_proc)
         joints_2d = pp.normalize_joints_2d(joints_2d, self.config.input_size)
         init_j2 = pp.normalize_joints_2d(init_j2, self.config.input_size)
 
@@ -346,7 +378,7 @@ class PredictionDataset(BaselineDataset):
             scale_ratio=np.asarray(scale, np.float32),
             index=np.asarray(index, np.int32),
         )
-        if img_out is not None:
+        if self.with_image:
             result["img"] = img_out
         if self.with_feat:
             result["img_feat"] = np.asarray(single["img_feat"], np.float32).reshape(-1)
@@ -358,6 +390,7 @@ class PredictionDataset(BaselineDataset):
 class MLPDataset(PredictionDataset):
     with_image = True
     with_feat = True
+    fallback_opt_params = True
 
 
 class OPTDataset(PredictionDataset):

@@ -176,8 +176,13 @@ def normalize_joints_2d(joints_2d: np.ndarray, final_size: int = 224) -> np.ndar
 
 
 def normalize_image(img: np.ndarray) -> np.ndarray:
-    """uint8 BGR HWC -> float32 HWC in [-1, 1] (the reference's
-    ToTensor+Normalize(.5,.5) on RGB; ref baseline_dataset.py:41-44).
-    Keeps NHWC (TPU conv layout). Converts BGR->RGB like PIL loading would."""
-    rgb = img[..., ::-1].astype(np.float32) / 255.0
-    return (rgb - 0.5) / 0.5
+    """uint8 HWC -> float32 HWC in [-1, 1], CHANNEL ORDER PRESERVED.
+
+    The reference applies torchvision ToTensor+Normalize(.5,.5) directly to
+    the cv2-decoded array (ref baseline_dataset.py:41-44,123,202), and
+    ToTensor does NOT reorder channels — the reference therefore trains and
+    infers on BGR images. Reproduced exactly (the round-3 dataset oracle,
+    tests/test_ref_e2e_datasets.py, caught an RGB flip here that would have
+    broken imported reference checkpoints). Keeps NHWC (TPU conv layout)."""
+    x = img.astype(np.float32) / 255.0
+    return (x - 0.5) / 0.5

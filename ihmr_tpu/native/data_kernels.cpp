@@ -60,9 +60,11 @@ void parallel_for(int n, Fn&& fn) {
 
 extern "C" {
 
-// Letterbox one uint8 HWC BGR image into a final_size x final_size canvas
-// (top-left anchored, zero padding) and emit normalized float32 RGB in
-// [-1, 1]. Returns the resize ratio applied to pixel coordinates.
+// Letterbox one uint8 HWC image into a final_size x final_size canvas
+// (top-left anchored, zero padding) and emit normalized float32 in [-1, 1],
+// CHANNEL ORDER PRESERVED (the reference feeds cv2 BGR straight through
+// ToTensor; ref baseline_dataset.py:41-44,123). Returns the resize ratio
+// applied to pixel coordinates.
 float letterbox_normalize(const uint8_t* img, int h, int w, int channels,
                           int final_size, float* out /* S*S*3 */) {
   float ratio;
@@ -89,9 +91,8 @@ float letterbox_normalize(const uint8_t* img, int h, int w, int channels,
       const float src_x = std::min((x + 0.5f) * sx - 0.5f, w - 1.0f);
       const float cx = src_x < 0 ? 0 : src_x;
       float* dst = out + (y * final_size + x) * 3;
-      // BGR -> RGB swap happens here (c: 2,1,0)
       for (int c = 0; c < 3; ++c) {
-        const float v = bilinear(img, h, w, channels, cy, cx, 2 - c);
+        const float v = bilinear(img, h, w, channels, cy, cx, c);
         dst[c] = (v / 255.0f - 0.5f) / 0.5f;
       }
     }
@@ -111,16 +112,15 @@ void letterbox_normalize_batch(const uint8_t* imgs, int batch, int h, int w,
   });
 }
 
-// Batched uint8 BGR HWC -> normalized float32 RGB HWC (no resize).
+// Batched uint8 HWC -> normalized float32 HWC (no resize), channel order
+// preserved (the reference feeds cv2 BGR straight through ToTensor).
 void normalize_batch(const uint8_t* imgs, int batch, int h, int w, float* out) {
   const size_t stride = static_cast<size_t>(h) * w * 3;
   parallel_for(batch, [&](int i) {
     const uint8_t* src = imgs + i * stride;
     float* dst = out + i * stride;
-    for (size_t p = 0; p < stride; p += 3) {
-      dst[p + 0] = (src[p + 2] / 255.0f - 0.5f) / 0.5f;
-      dst[p + 1] = (src[p + 1] / 255.0f - 0.5f) / 0.5f;
-      dst[p + 2] = (src[p + 0] / 255.0f - 0.5f) / 0.5f;
+    for (size_t p = 0; p < stride; ++p) {
+      dst[p] = (src[p] / 255.0f - 0.5f) / 0.5f;
     }
   });
 }

@@ -168,6 +168,61 @@ def import_torch_resnet(
     return params, stats
 
 
+def import_torch_encoder(
+    pth_path_or_state, flax_params: Dict, flax_batch_stats: Dict, strict: bool = False
+) -> Tuple[Dict, Dict]:
+    """Map a reference InterHandEncoder state dict onto our flax encoder.
+
+    The reference's trained baseline checkpoints (``{epoch}_net_baseline.pth``,
+    ref src/models/base_model.py:23-34) hold an encoder state dict with keys
+    ``main_encoder.*`` (the vendored ResNet, ref src/models/resnet.py),
+    ``feat_encoder.1.*`` (the 1024->1024 fc2), ``regressor_ih.0.*`` (the
+    iterative residual regressor) and ``hand_classifier.0.*``
+    (ref src/models/networks.py:45-63). This importer lets a reference user
+    load those weights directly into the TPU rebuild.
+
+    Returns (params, batch_stats) trees with matched leaves replaced.
+    """
+    if isinstance(pth_path_or_state, str):
+        state = _torch_load(pth_path_or_state)
+    else:
+        state = {
+            k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+            for k, v in dict(pth_path_or_state).items()
+        }
+    backbone_state = {
+        k[len("main_encoder."):]: v
+        for k, v in state.items()
+        if k.startswith("main_encoder.")
+    }
+    params = jax.tree_util.tree_map(np.asarray, flax_params)
+    stats = jax.tree_util.tree_map(np.asarray, flax_batch_stats)
+    params["main_encoder"], stats["main_encoder"] = import_torch_resnet(
+        backbone_state, params["main_encoder"], stats["main_encoder"], strict=strict
+    )
+    head_map = {
+        "feat_encoder.1": "fc2",
+        "regressor_ih.0": "regressor_ih",
+        "hand_classifier.0": "hand_classifier",
+    }
+    unmatched = []
+    for tkey, value in state.items():
+        if tkey.startswith("main_encoder."):
+            continue
+        prefix, _, leaf = tkey.rpartition(".")
+        fname = head_map.get(prefix)
+        if fname is None or leaf not in ("weight", "bias") or fname not in params:
+            unmatched.append(tkey)
+            continue
+        target = "kernel" if leaf == "weight" else "bias"
+        value = value.T if leaf == "weight" else value
+        assert params[fname][target].shape == value.shape, (tkey, value.shape)
+        params[fname][target] = value.astype(params[fname][target].dtype)
+    if strict and unmatched:
+        raise KeyError(f"unmatched torch keys: {unmatched}")
+    return params, stats
+
+
 def _map_bn(params, stats, path: Tuple[str, ...], rest: str, value, put) -> bool:
     """path addresses the BN module inside both params and batch_stats."""
     if rest == "weight":

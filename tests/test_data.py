@@ -93,12 +93,15 @@ class TestPreprocess:
         np.testing.assert_allclose(out[1, :2], [0.0, 0.0])
 
     def test_normalize_image_range(self):
+        """Channel order is PRESERVED: the reference feeds cv2 BGR straight
+        through ToTensor (ref baseline_dataset.py:41-44,123), so normalization
+        must not reorder channels (round-3 dataset-oracle finding)."""
         img = np.zeros((4, 4, 3), np.uint8)
         img[..., 0] = 255  # blue in BGR
         out = pp.normalize_image(img)
         assert out.shape == (4, 4, 3)
-        np.testing.assert_allclose(out[..., 2], 1.0)  # -> RGB last channel
-        np.testing.assert_allclose(out[..., 0], -1.0)
+        np.testing.assert_allclose(out[..., 0], 1.0)  # stays channel 0
+        np.testing.assert_allclose(out[..., 2], -1.0)
 
     def test_rotate_consistency(self):
         """Rotating joints_2d and the image must keep them registered: a

@@ -1,0 +1,434 @@
+"""END-TO-END parity: the reference's actual ``MLPModel`` cascade (torch CPU)
+as the oracle for our jitted MLP refinement engine.
+
+VERDICT round-2 item 2: OPT and baseline training have end-to-end reference
+oracles (tests/test_ref_e2e_opt.py, tests/test_ref_e2e_train.py); this gives
+the third workload — the IHMR-MLP factorized refinement cascade — the same
+class of evidence. The oracle is the reference's real ``MLPModel`` driven
+through its real ``test()`` sequence (ref src/models/mlp_model.py:683-699):
+
+    forward(forward_backbone=True) -> compute_loss -> save_pred_to_prev
+    per stage: retrive_prev_prediction -> forward(stage_id) -> compute_loss
+               -> select_better_params -> save_pred_to_prev
+
+with REAL randomized SubNetwork weights copied bit-for-bit into our flax
+SubNetworks. After every stage the reference's selected parameters and cached
+per-sample losses must match ours (``apply_stage_mlp`` + ``compute_losses`` +
+``select_better_params`` + ``MLPCaches``), and the one-shot jitted
+``make_cascade_apply`` program must land on the same final parameters.
+
+Scope: collision-free, like the other oracles (the reference SDF is a CUDA
+extension; its ``_ZeroSDF`` stand-in returns zeros, and our side runs the
+same loss weights with collision weight 0 so the weighted collision batch is
+zero on both sides). The cascade therefore uses a collision-free schedule
+(filter/select on ``joints_3d_loss_p`` / ``joints_2d_loss_p``) — mlp_default's
+collision filter math itself is covered component-wise in
+tests/test_ref_parity.py::test_mlp_select_better_params_parity.
+"""
+
+from __future__ import annotations
+
+import sys
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import test_ref_e2e_opt as e2e  # shared torch-MANO shim + module stubs
+
+REF_SRC = "/root/reference/src"
+
+BATCH = 6
+
+_MEAN_RNG = np.random.RandomState(9)
+MEAN_POSE = (_MEAN_RNG.randn(48) * 0.1).astype(np.float32)
+MEAN_BETAS = (_MEAN_RNG.randn(10) * 0.1).astype(np.float32)
+
+# ref-side weights (the reference asserts collision weight == 1.0 in its own
+# defaults; the zero-SDF stand-in makes the weighted term 0 anyway)
+_REF_WEIGHTS = dict(
+    joints_2d_loss=10.0,
+    joints_3d_loss=10.0,
+    mano_pose_loss=10.0,
+    mano_shape_loss=10.0,
+    hand_trans_loss=10.0,
+    shape_reg_loss=0.1,
+    shape_residual_loss=1.0,
+    collision_loss=1.0,
+)
+# our weights: identical except collision 0 (zeroes OUR real collision kernel
+# so both sides' tracked collision batches are zero)
+_OUR_WEIGHTS = dict(_REF_WEIGHTS, collision_loss=0.0)
+
+_J3D_FILTER = [("joints_3d_loss_p", "+0")]
+_REF_STAGES = [
+    dict(update_params=["pred_hand_trans"], loss_weights=dict(_REF_WEIGHTS),
+         lr=1e-4, epoch=1, filter_loss=list(_J3D_FILTER),
+         select_loss="joints_3d_loss_p"),
+    dict(update_params=["pred_left_orient", "pred_right_orient"],
+         loss_weights=dict(_REF_WEIGHTS), lr=1e-4, epoch=1,
+         filter_loss=list(_J3D_FILTER), select_loss="joints_3d_loss_p"),
+    dict(update_params=["pred_right_pose_params", "pred_left_pose_params"],
+         loss_weights=dict(_REF_WEIGHTS), lr=1e-4, epoch=1,
+         filter_loss=list(_J3D_FILTER), select_loss="joints_3d_loss_p"),
+    dict(update_params=["pred_right_shape_params", "pred_left_shape_params"],
+         loss_weights=dict(_REF_WEIGHTS), lr=1e-4, epoch=1,
+         filter_loss=list(_J3D_FILTER), select_loss="joints_3d_loss_p"),
+    dict(update_params=["pred_cam_params"], loss_weights=dict(_REF_WEIGHTS),
+         lr=1e-4, epoch=1, filter_loss=[("joints_2d_loss_p", "+0")],
+         select_loss="joints_2d_loss_p"),
+]
+
+_GROUP_MAP = {
+    "pred_cam_params": "cam",
+    "pred_hand_trans": "trans",
+    "pred_right_orient": "right_orient",
+    "pred_left_orient": "left_orient",
+    "pred_right_pose_params": "right_pose",
+    "pred_left_pose_params": "left_pose",
+    "pred_right_shape_params": "right_shape",
+    "pred_left_shape_params": "left_shape",
+}
+_LOSS_KEYS = ("joints_2d_loss_p_batch", "joints_3d_loss_p_batch")
+
+
+def _our_stages():
+    from ihmr_tpu.refine.schedule import Stage
+
+    out = []
+    for s in _REF_STAGES:
+        out.append(
+            Stage(
+                update_params=tuple(_GROUP_MAP[p] for p in s["update_params"]),
+                loss_weights=tuple(sorted(_OUR_WEIGHTS.items())),
+                lr=s["lr"],
+                epoch=s["epoch"],
+                filter_loss=tuple((n, p) for n, p in s["filter_loss"]),
+                select_loss=s["select_loss"],
+            )
+        )
+    return tuple(out)
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    from ihmr_tpu.mano import synthetic_mano_model
+    from ihmr_tpu.mano.loader import mirror_mano_model
+
+    saved_modules = dict(sys.modules)
+    saved_tensor_cuda = torch.Tensor.cuda
+    saved_module_cuda = torch.nn.Module.cuda
+    saved_cuda_float = getattr(torch.cuda, "FloatTensor", None)
+
+    jm_right = synthetic_mano_model()
+    jm_left = mirror_mano_model(jm_right)
+
+    smplx_stub = e2e._stub_module("smplx")
+    stubs = {
+        "sdf": e2e._stub_module("sdf", SDFLoss=e2e._ZeroSDF, SDFLoss_Single=e2e._ZeroSDF),
+        "ry_utils": e2e._stub_module(
+            "ry_utils",
+            load_pkl=lambda path: dict(
+                mean_pose=MEAN_POSE.copy(), mean_betas=MEAN_BETAS.copy()
+            ),
+        ),
+        "torchgeometry": e2e._stub_module("torchgeometry"),
+        "torchvision": e2e._stub_module("torchvision"),
+        "torchvision.transforms": e2e._stub_module(
+            "torchvision.transforms", ColorJitter=object
+        ),
+        "smplx": smplx_stub,
+        "opendr": e2e._stub_module("opendr"),
+        "opendr.camera": e2e._stub_module("opendr.camera", ProjectPoints=object),
+        "opendr.renderer": e2e._stub_module("opendr.renderer", ColoredRenderer=object),
+        "opendr.lighting": e2e._stub_module(
+            "opendr.lighting", LambertianPointLight=object
+        ),
+    }
+    stubs["torchvision"].transforms = stubs["torchvision.transforms"]
+    stubs["opendr"].camera = stubs["opendr.camera"]
+    stubs["opendr"].renderer = stubs["opendr.renderer"]
+    stubs["opendr"].lighting = stubs["opendr.lighting"]
+    sys.modules.update(stubs)
+
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    torch.nn.Module.cuda = lambda self, *a, **kw: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+
+    sys.path.insert(0, REF_SRC)
+    try:
+        import importlib
+
+        transform_utils = importlib.import_module("models.transform_utils")
+
+        def create(path, kind, use_pca=False, is_rhand=True, batch_size=1, **kw):
+            assert kind == "mano"
+            return e2e._TorchMano(
+                jm_right if is_rhand else jm_left, transform_utils.batch_rodrigues
+            )
+
+        smplx_stub.create = create
+
+        mlp_model = importlib.import_module("models.mlp_model")
+
+        def build(batch=BATCH):
+            opt = SimpleNamespace(
+                isTrain=False,
+                dist=False,
+                process_rank=-1,
+                inputSize=224,
+                input_nc=3,
+                total_params_dim=122,
+                cam_params_dim=3,
+                pose_params_dim=96,
+                shape_params_dim=20,
+                trans_params_dim=3,
+                num_joints=42,
+                batchSize=batch,
+                model_root="/nonexistent",
+                mean_param_file="mean_mano_params.pkl",
+                checkpoints_dir="/tmp",
+                gpu_ids=[0],
+            )
+            return mlp_model.MLPModel(opt)
+
+        yield SimpleNamespace(build=build, jm_right=jm_right, jm_left=jm_left)
+    finally:
+        sys.path.remove(REF_SRC)
+        torch.Tensor.cuda = saved_tensor_cuda
+        torch.nn.Module.cuda = saved_module_cuda
+        if saved_cuda_float is not None:
+            torch.cuda.FloatTensor = saved_cuda_float
+        for name in list(sys.modules):
+            # never evict torch internals: lazily-imported submodules
+            # (torch._dynamo/_inductor via optimizer.step) hold C-level
+            # TORCH_LIBRARY registrations that crash on re-import
+            if name not in saved_modules and name != "torch" and not name.startswith("torch."):
+                del sys.modules[name]
+
+
+def _randomize_subnet(subnet: "torch.nn.Module", seed: int):
+    """Residual scale large enough that stage updates visibly move losses
+    (the xavier-0.01 init emits ~0 residuals — that would make acceptance
+    trivially all-accept and the comparison vacuous)."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in subnet.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0.0, 0.02, generator=gen)
+                m.bias.normal_(0.0, 0.01, generator=gen)
+
+
+def _subnet_params_from_torch(subnet: "torch.nn.Module"):
+    """torch Sequential [fc1, relu, fc2, relu, fc3, relu, regressor]
+    (ref networks.py:83-105) -> our flax SubNetwork param tree."""
+    sd = {k: v.detach().numpy() for k, v in subnet.state_dict().items()}
+    name_map = {"0": "fc1", "2": "fc2", "4": "fc3", "6": "regressor"}
+    tree = {}
+    for tidx, fname in name_map.items():
+        tree[fname] = {
+            "kernel": sd[f"regressor.{tidx}.weight"].T,
+            "bias": sd[f"regressor.{tidx}.bias"],
+        }
+    return {"params": tree}
+
+
+@pytest.fixture(scope="module")
+def inputs(ref_env):
+    from ihmr_tpu.data.synthetic import make_mlp_inputs
+
+    return make_mlp_inputs(ref_env.jm_right, batch=BATCH, seed=5, noise=0.25)
+
+
+def _ref_input_from_batch(batch):
+    t = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    return {
+        "img": torch.zeros(BATCH, 3, 224, 224),  # MLPModel has no encoder
+        "hand_type_array": t(batch.hand_type_array),
+        "hand_type_valid": t(batch.hand_type_valid),
+        "joints_2d": t(batch.joints_2d),
+        "joints_3d": t(batch.joints_3d),
+        "hand_trans": t(batch.hand_trans),
+        "mano_pose": t(batch.gt_pose_params),
+        "mano_betas": t(batch.gt_shape_params),
+        "mano_params_weight": t(batch.mano_params_weight),
+        "index": torch.arange(BATCH),
+        "img_feat": t(batch.img_feat),
+        "init_joints_2d": t(batch.init_joints_2d),
+        "init_joints_3d": t(batch.init_joints_3d),
+        "init_cam": t(batch.init_cam),
+        "init_pose_params": t(batch.init_pose_params),
+        "init_shape_params": t(batch.init_shape_params),
+        "init_hand_trans": t(batch.init_hand_trans),
+    }
+
+
+@pytest.fixture(scope="module")
+def run_both(ref_env, inputs):
+    """Drive the reference test() sequence AND our engine per stage; collect
+    per-stage snapshots from both sides."""
+    import jax.numpy as jnp
+
+    from ihmr_tpu.models.encoder import SubNetwork
+    from ihmr_tpu.refine import mlp_engine as me
+    from ihmr_tpu.refine.opt_engine import OptConfig
+
+    batch = inputs
+    strategy = _our_stages()
+
+    # ---- reference side -------------------------------------------------
+    ref = ref_env.build()
+    ref.set_input(_ref_input_from_batch(batch))
+    ref.set_update_info(_REF_STAGES, BATCH)
+    for sid in range(len(_REF_STAGES)):
+        ref.add_new_network(sid)
+        _randomize_subnet(ref.sub_network_list[sid], seed=100 + sid)
+
+    ref_stages = []
+    with torch.no_grad():
+        ref.forward(forward_backbone=True)
+        ref.compute_loss(dict(_REF_WEIGHTS))
+        ref.save_pred_to_prev()
+        warm_losses = {
+            k: getattr(ref, k).numpy().copy() for k in _LOSS_KEYS
+        }
+        for sid in range(len(_REF_STAGES)):
+            ref.retrive_prev_prediction()
+            ref.forward(stage_id=sid)
+            ref.compute_loss(dict(_REF_WEIGHTS))
+            ref.select_better_params(sid)
+            ref.save_pred_to_prev()
+            ref_stages.append(
+                dict(
+                    params={
+                        rname: getattr(ref, rname).detach().numpy().copy()
+                        for rname in _GROUP_MAP
+                    },
+                    losses={k: getattr(ref, k).numpy().copy() for k in _LOSS_KEYS},
+                )
+            )
+        # test() tail: __forward_mano + compute_loss on the selected params
+        # (ref mlp_model.py:697-699)
+        ref._MLPModel__forward_mano()
+        ref.compute_loss(dict(_REF_WEIGHTS))
+        final_joints = ref.pred_joints_3d.detach().numpy().copy()
+
+    # ---- our side (manual per-stage loop through MLPCaches) -------------
+    model = ref_env.jm_right
+    cfg = OptConfig()
+
+    def subnet_apply(params, x):
+        # output dim comes from the stage's own params
+        dim = params["params"]["regressor"]["bias"].shape[0]
+        return SubNetwork(update_dim=dim).apply(params, x)
+
+    stage_params = tuple(
+        _subnet_params_from_torch(ref.sub_network_list[sid])
+        for sid in range(len(strategy))
+    )
+
+    caches = me.MLPCaches(num_data=BATCH)
+    idx = np.arange(BATCH)
+
+    p = me.seed_from_backbone(batch)
+    _, aux = me.compute_losses(model, p, batch, _OUR_WEIGHTS, cfg)
+    prev_losses = {k: aux[k] for k in me._TRACKED}
+    caches.save(idx, batch.img_feat, p, prev_losses)
+    our_warm = {k: np.asarray(prev_losses[k]) for k in _LOSS_KEYS}
+
+    our_stages = []
+    for sid, stage in enumerate(strategy):
+        feat, cparams, closs = caches.retrieve(idx)
+        prev_params = {k: jnp.asarray(v) for k, v in cparams.items()}
+        prev_losses = {k: jnp.asarray(v) for k, v in closs.items()}
+        p_new = me.apply_stage_mlp(
+            subnet_apply, stage_params[sid], stage, jnp.asarray(feat), prev_params
+        )
+        _, aux = me.compute_losses(model, p_new, batch, _OUR_WEIGHTS, cfg)
+        cur_losses = {k: aux[k] for k in me._TRACKED}
+        p_sel, sel_losses = me.select_better_params(
+            stage, p_new, cur_losses, prev_params, prev_losses
+        )
+        caches.save(idx, feat, p_sel, sel_losses)
+        our_stages.append(
+            dict(
+                params={k: np.asarray(v) for k, v in p_sel.items()},
+                losses={k: np.asarray(sel_losses[k]) for k in _LOSS_KEYS},
+            )
+        )
+
+    # ---- our side (the one-shot jitted cascade program) -----------------
+    cascade = me.make_cascade_apply(model, strategy, subnet_apply, _OUR_WEIGHTS, cfg)
+    cas_params, cas_results = cascade(stage_params, batch)
+
+    return SimpleNamespace(
+        warm_ref=warm_losses,
+        warm_ours=our_warm,
+        ref_stages=ref_stages,
+        our_stages=our_stages,
+        ref_final_joints=final_joints,
+        cas_params={k: np.asarray(v) for k, v in cas_params.items()},
+        cas_results=cas_results,
+        strategy=strategy,
+    )
+
+
+def test_warm_pass_losses_match(run_both):
+    """The seeding pass: per-sample filter/select loss vectors must agree."""
+    for k in _LOSS_KEYS:
+        np.testing.assert_allclose(
+            run_both.warm_ours[k], run_both.warm_ref[k], rtol=2e-4, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_every_stage_selection_matches(run_both):
+    """After each stage: the per-sample accepted/reverted parameters of every
+    group AND the written-back loss caches must match the reference."""
+    for sid, (r, o) in enumerate(zip(run_both.ref_stages, run_both.our_stages)):
+        for rname, ours in _GROUP_MAP.items():
+            got = o["params"][ours]
+            want = r["params"][rname].reshape(got.shape)
+            np.testing.assert_allclose(
+                got, want, atol=5e-5, err_msg=f"stage {sid} {rname}"
+            )
+        for k in _LOSS_KEYS:
+            np.testing.assert_allclose(
+                o["losses"][k], r["losses"][k], rtol=5e-4, atol=1e-6,
+                err_msg=f"stage {sid} {k}",
+            )
+
+
+def test_selection_is_exercised_both_ways(run_both, inputs):
+    """The comparison is only meaningful if some samples accepted stage
+    updates AND some reverted: check both outcomes occur across the cascade."""
+    from ihmr_tpu.refine.mlp_engine import seed_from_backbone
+
+    seed_params = {k: np.asarray(v) for k, v in seed_from_backbone(inputs).items()}
+    accepted = rejected = 0
+    for sid, (stage, o) in enumerate(zip(run_both.strategy, run_both.our_stages)):
+        before = run_both.our_stages[sid - 1]["params"] if sid else seed_params
+        for g in stage.update_params:
+            changed = np.any(o["params"][g] != before[g], axis=-1)
+            accepted += int(changed.sum())
+            rejected += int((~changed).sum())
+    assert accepted > 0, "no sample ever accepted a stage update"
+    assert rejected > 0, "no sample ever reverted a stage update"
+
+
+def test_jitted_cascade_matches_reference_final(run_both):
+    """The production one-shot program (make_cascade_apply) must land on the
+    reference's final selected parameters and (root-aligned) joints."""
+    final_ref = run_both.ref_stages[-1]["params"]
+    for rname, ours in _GROUP_MAP.items():
+        got = run_both.cas_params[ours]
+        want = final_ref[rname].reshape(got.shape)
+        np.testing.assert_allclose(got, want, atol=5e-5, err_msg=rname)
+
+    # ref _joints_3d_loss root-aligns pred_joints_3d in place during the last
+    # compute_loss (ref loss_utils.py:90-111) — align ours identically
+    ours_j = np.asarray(run_both.cas_results["pred_joints_3d"])
+    ours_j = ours_j - ours_j[:, 0:1, :]
+    np.testing.assert_allclose(ours_j, run_both.ref_final_joints, atol=2e-4)

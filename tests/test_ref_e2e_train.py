@@ -1,0 +1,501 @@
+"""END-TO-END parity: the reference's actual ``InterHandModel`` baseline
+TRAINING step (torch CPU) as the oracle for our jitted train path.
+
+VERDICT round-2 item 1: OPT earned an end-to-end reference oracle
+(tests/test_ref_e2e_opt.py); this gives baseline TRAINING the same class of
+evidence. The oracle is the reference's real ``InterHandModel`` — its
+``forward`` (encoder -> 122 params -> pred+GT MANO decode -> ortho project,
+ref src/models/baseline_model.py:257-282) and ``backward_E`` (the 7-loss
+composition + backward, ref :285-341) — executed on torch CPU with the SAME
+encoder weights our flax encoder gets through the now-trusted importer
+(``import_torch_encoder``; ResNet leg verified in tests/test_torch_import.py).
+
+Asserted, in increasing depth:
+  1. every loss value of one real batch matches;
+  2. the encoder PARAMETER GRADIENTS of that loss match, from the regressor
+     head all the way down to conv1 (i.e. the full backward through ResNet-50,
+     MANO decode, projection and all losses agrees);
+  3. several Adam steps of training-loss trajectory match
+     (``optimize_parameters``, ref :344-347, vs our jitted ``train_step``).
+
+Scope: collision off on both sides (the reference's SDF is a CUDA extension
+that cannot run here; ref training defaults also run without it — ref
+train_options.py:24 ``use_collision_loss`` default False). Collision is
+covered by tests/test_collision.py and the OPT oracle's scope note.
+
+Discovered reference bug (documented in docs/PARITY.md): ``backward_E``
+unpacks TWO values from ``_hand_trans_loss`` (ref baseline_model.py:322)
+but that loss returns ONE scalar (ref loss_utils.py:114-118) — the shipped
+reference crashes with "iteration over a 0-d tensor" at the first training
+step; additionally its ``(B,1,3) - (B,3)`` operand shapes would broadcast to
+a CROSS-SAMPLE (B,B,3) mean. Every other call site (mlp_model.py:559 passes
+``hand_trans[:, 0, :3]``; optimize_model.py:305 has matching (B,1,3) shapes)
+uses elementwise semantics, so the oracle runs with ``_hand_trans_loss``
+patched to the evidently-intended elementwise version returning the same
+(loss, per-sample) pair as its sibling losses — which is exactly what our
+``losses.hand_trans_loss`` implements.
+
+The MANO layer handed to the reference is the torch shim of
+tests/test_ref_e2e_opt.py (smplx decode semantics over the same synthetic
+tensors) with the ``J_regressor`` attribute the baseline model touches
+(ref :228). The ResNet inside the reference encoder is the reference's OWN
+vendored resnet50 (ref src/models/resnet.py), not a stand-in.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from collections import OrderedDict
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import test_ref_e2e_opt as e2e  # shared torch-MANO shim + module stubs
+
+REF_SRC = "/root/reference/src"
+
+BATCH = 4
+INPUT = 224  # AvgPool2d(7) == global mean pool exactly at the native size
+
+# distinct weights so any mis-wired term fails loudly
+_CFG_KW = dict(
+    joints_2d_loss_weight=10.0,
+    joints_3d_loss_weight=100.0,
+    pose_param_weight=10.0,
+    shape_param_weight=5.0,
+    trans_loss_weight=100.0,
+    shape_reg_loss_weight=0.1,
+    collision_loss_weight=1.0,
+    use_collision_loss=False,
+    use_hand_rotation=False,
+)
+# the reference's actual training lr (bash/train_baseline.sh): at 1e-3 the
+# random-init loss explodes on step 1 (24 -> 4300) and the post-explosion
+# landscape is chaotic — fp32 framework differences then amplify past any
+# meaningful tolerance (measured 12% by step 3), exactly like the
+# full-schedule OPT parity lesson. At the real lr the 4-step trajectory
+# stays in the informative regime where an optimizer bug WOULD show.
+_LR = 1e-4
+
+_MEAN_RNG = np.random.RandomState(7)
+MEAN_POSE = (_MEAN_RNG.randn(48) * 0.1).astype(np.float32)
+MEAN_BETAS = (_MEAN_RNG.randn(10) * 0.1).astype(np.float32)
+
+
+class _TorchManoBaseline(e2e._TorchMano):
+    """The baseline model also reads ``.J_regressor`` (ref :228)."""
+
+    def __init__(self, m, rodrigues):
+        super().__init__(m, rodrigues)
+        self.J_regressor = self.j_regressor
+
+
+@pytest.fixture(scope="module")
+def ref_env(tmp_path_factory):
+    """Reference InterHandModel factory with smplx / sdf / model_zoo / cuda
+    shimmed for CPU execution."""
+    from ihmr_tpu.mano import synthetic_mano_model
+    from ihmr_tpu.mano.loader import mirror_mano_model
+
+    saved_modules = dict(sys.modules)
+    saved_tensor_cuda = torch.Tensor.cuda
+    saved_module_cuda = torch.nn.Module.cuda
+    saved_cuda_float = getattr(torch.cuda, "FloatTensor", None)
+
+    jm_right = synthetic_mano_model()
+    jm_left = mirror_mano_model(jm_right)
+
+    smplx_stub = e2e._stub_module("smplx")
+    ry_stub = e2e._stub_module(
+        "ry_utils",
+        load_pkl=lambda path: dict(
+            mean_pose=MEAN_POSE.copy(), mean_betas=MEAN_BETAS.copy()
+        ),
+    )
+    stubs = {
+        "sdf": e2e._stub_module("sdf", SDFLoss=e2e._ZeroSDF, SDFLoss_Single=e2e._ZeroSDF),
+        "ry_utils": ry_stub,
+        "torchgeometry": e2e._stub_module("torchgeometry"),
+        "torchvision": e2e._stub_module("torchvision"),
+        "torchvision.transforms": e2e._stub_module(
+            "torchvision.transforms", ColorJitter=object
+        ),
+        "smplx": smplx_stub,
+        "opendr": e2e._stub_module("opendr"),
+        "opendr.camera": e2e._stub_module("opendr.camera", ProjectPoints=object),
+        "opendr.renderer": e2e._stub_module("opendr.renderer", ColoredRenderer=object),
+        "opendr.lighting": e2e._stub_module(
+            "opendr.lighting", LambertianPointLight=object
+        ),
+    }
+    stubs["torchvision"].transforms = stubs["torchvision.transforms"]
+    stubs["opendr"].camera = stubs["opendr.camera"]
+    stubs["opendr"].renderer = stubs["opendr.renderer"]
+    stubs["opendr"].lighting = stubs["opendr.lighting"]
+    sys.modules.update(stubs)
+
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+    torch.nn.Module.cuda = lambda self, *a, **kw: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+
+    sys.path.insert(0, REF_SRC)
+    ref_resnet = saved_model_zoo = None
+    try:
+        import importlib
+
+        transform_utils = importlib.import_module("models.transform_utils")
+
+        def create(path, kind, use_pca=False, is_rhand=True, batch_size=1, **kw):
+            assert kind == "mano"
+            return _TorchManoBaseline(
+                jm_right if is_rhand else jm_left, transform_utils.batch_rodrigues
+            )
+
+        smplx_stub.create = create
+
+        # the reference encoder builds its backbone with pretrained=True
+        # (ref networks.py:37-42); no egress here, so model_zoo yields an
+        # empty dict (load_state_dict strict=False -> no-op)
+        ref_resnet = importlib.import_module("models.resnet")
+        saved_model_zoo = ref_resnet.model_zoo
+        ref_resnet.model_zoo = SimpleNamespace(load_url=lambda *a, **kw: {})
+
+        baseline_model = importlib.import_module("models.baseline_model")
+
+        # an empty pretrain file skips the reference's 3s "no weights" sleep
+        pre = tmp_path_factory.mktemp("pre") / "empty.pth"
+        torch.save(OrderedDict(), str(pre))
+
+        def build(batch=BATCH):
+            opt = SimpleNamespace(
+                isTrain=True,
+                dist=False,
+                process_rank=-1,
+                continue_train=False,
+                pretrain_weights=str(pre),
+                inputSize=INPUT,
+                input_nc=3,
+                total_params_dim=122,
+                cam_params_dim=3,
+                pose_params_dim=96,
+                shape_params_dim=20,
+                trans_params_dim=3,
+                num_joints=42,
+                batchSize=batch,
+                main_encoder="resnet50",
+                lr=_LR,
+                lr_decay_type="none",
+                total_epoch=20,
+                sdf_robustifier=None,
+                model_root="/nonexistent",
+                mean_param_file="mean_mano_params.pkl",
+                checkpoints_dir="/tmp",
+                gpu_ids=[0],
+                **_CFG_KW,
+            )
+            return baseline_model.InterHandModel(opt)
+
+        yield SimpleNamespace(build=build, jm_right=jm_right, jm_left=jm_left)
+    finally:
+        if ref_resnet is not None:
+            ref_resnet.model_zoo = saved_model_zoo
+        sys.path.remove(REF_SRC)
+        torch.Tensor.cuda = saved_tensor_cuda
+        torch.nn.Module.cuda = saved_module_cuda
+        if saved_cuda_float is not None:
+            torch.cuda.FloatTensor = saved_cuda_float
+        for name in list(sys.modules):
+            # never evict torch internals: lazily-imported submodules
+            # (torch._dynamo/_inductor via optimizer.step) hold C-level
+            # TORCH_LIBRARY registrations that crash on re-import
+            if name not in saved_modules and name != "torch" and not name.startswith("torch."):
+                del sys.modules[name]
+
+
+def _randomize_encoder(encoder: "torch.nn.Module", seed: int):
+    """Non-degenerate weights everywhere (incl. BN running stats, though the
+    train-mode forward uses batch statistics)."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in encoder.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0.0, 0.04, generator=gen)
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5, generator=gen)
+                m.bias.normal_(0.0, 0.1, generator=gen)
+                m.running_mean.normal_(0.0, 0.1, generator=gen)
+                m.running_var.uniform_(0.5, 1.5, generator=gen)
+            elif isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0.0, 0.01, generator=gen)
+                m.bias.normal_(0.0, 0.005, generator=gen)
+
+
+def _make_batch(model, seed=0):
+    """Shared synthetic training batch (annotation-schema fields + images)."""
+    import jax.numpy as jnp
+
+    from ihmr_tpu.data.synthetic import generate
+    from ihmr_tpu.train import BaselineBatch
+
+    d = generate(model, BATCH, seed=seed, noise=0.1)
+    rng = np.random.RandomState(seed + 50)
+    img = (rng.rand(BATCH, INPUT, INPUT, 3).astype(np.float32) - 0.5) / 0.5
+    ones = jnp.ones((BATCH, 42, 1), jnp.float32)
+    batch = BaselineBatch(
+        img=jnp.asarray(img),
+        hand_type_array=jnp.ones((BATCH, 2)),
+        hand_type_valid=jnp.ones((BATCH, 1)),
+        joints_2d=jnp.concatenate([d["gt_j2"], ones], axis=-1),
+        joints_3d=jnp.concatenate([d["gt_j3"], ones], axis=-1),
+        gt_pose_params=d["gt_pose"],
+        gt_shape_params=d["gt_shape"],
+        mano_params_weight=jnp.ones((BATCH, 2)),
+        hand_trans=jnp.concatenate([d["gt_trans"], jnp.ones((BATCH, 1))], axis=-1)[
+            :, None, :
+        ],
+        do_flip=jnp.zeros((BATCH,), jnp.int32),
+    )
+    return batch, img
+
+
+def _ref_set_input(ref, batch, img):
+    t = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    ref.set_input(
+        {
+            "img": t(np.transpose(img, (0, 3, 1, 2))),
+            "do_flip": t(np.zeros(BATCH)),
+            "hand_type_array": t(batch.hand_type_array),
+            "hand_type_valid": t(batch.hand_type_valid),
+            "joints_2d": t(batch.joints_2d),
+            "joints_3d": t(batch.joints_3d),
+            "hand_trans": t(batch.hand_trans),
+            "mano_pose": t(batch.gt_pose_params),
+            "mano_betas": t(batch.gt_shape_params),
+            "mano_params_weight": t(batch.mano_params_weight),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def harness(ref_env):
+    """Reference model + our state, SAME encoder weights via the importer."""
+    import jax
+
+    from ihmr_tpu.models import InterHandEncoder, build_mean_params
+    from ihmr_tpu.train import TrainConfig, create_state
+    from ihmr_tpu.train.checkpoint import import_torch_encoder
+
+    ref = ref_env.build()
+    _randomize_encoder(ref.encoder, seed=11)
+
+    # the evidently-intended elementwise trans loss (see module docstring:
+    # the shipped ref line is unexecutable + cross-sample-broadcast-buggy)
+    def _fixed_hand_trans_loss(gt, pred, w):
+        diff = gt.reshape(gt.shape[0], -1) - pred.reshape(pred.shape[0], -1)
+        sq = diff * diff * w.reshape(w.shape[0], -1)
+        return torch.mean(sq), torch.mean(sq, dim=1)
+
+    ref.loss_util._hand_trans_loss = _fixed_hand_trans_loss
+
+    config = TrainConfig(lr=_LR, lr_decay_type="none", **_CFG_KW)
+    encoder = InterHandEncoder(arch="resnet50")
+    mean = build_mean_params(MEAN_POSE, MEAN_BETAS)
+    state = create_state(encoder, mean, config, jax.random.PRNGKey(0), input_size=INPUT)
+
+    # reference mean-param assembly must equal ours (ref :105-130)
+    np.testing.assert_allclose(
+        ref.mean_params.numpy()[0], np.asarray(mean), atol=1e-6
+    )
+
+    params, stats = import_torch_encoder(
+        ref.encoder.state_dict(), state.params, state.batch_stats, strict=True
+    )
+    state = state.replace(params=params, batch_stats=stats)
+
+    batch, img = _make_batch(ref_env.jm_right)
+    return SimpleNamespace(
+        ref=ref,
+        encoder=encoder,
+        config=config,
+        state=state,
+        batch=batch,
+        img=img,
+        mano_right=ref_env.jm_right,
+        mano_left=ref_env.jm_left,
+    )
+
+
+def _our_loss_and_grads(h):
+    import jax
+
+    from ihmr_tpu.train.baseline import forward_and_loss
+
+    def loss_fn(params):
+        total, (m, _, _) = forward_and_loss(
+            h.encoder,
+            params,
+            h.state.batch_stats,
+            h.state.mean_params,
+            h.batch,
+            h.mano_right,
+            h.mano_left,
+            h.config,
+            train=True,
+        )
+        return total, m
+
+    (total, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(h.state.params)
+    return total, m, grads
+
+
+def _ref_loss_and_grads(h):
+    h.ref.encoder.zero_grad()
+    _ref_set_input(h.ref, h.batch, h.img)
+    h.ref.encoder.train()
+    h.ref.forward()
+    h.ref.backward_E()
+    return h.ref
+
+
+LOSS_NAMES = [
+    "hand_type_loss",
+    "joints_2d_loss",
+    "joints_3d_loss",
+    "mano_pose_loss",
+    "mano_shape_loss",
+    "hand_trans_loss",
+    "shape_reg_loss",
+]
+
+
+def test_all_seven_losses_match_reference(harness):
+    ref = _ref_loss_and_grads(harness)
+    total, m, _ = _our_loss_and_grads(harness)
+    for name in LOSS_NAMES:
+        got, want = float(m[name]), float(getattr(ref, name))
+        np.testing.assert_allclose(got, want, rtol=3e-3, err_msg=name)
+    np.testing.assert_allclose(float(total), float(ref.loss), rtol=3e-3)
+
+
+def _grad_close(got, want, rel, name):
+    """|got - want| <= rel * max|want| elementwise (gradient-scale-relative;
+    tiny elements of large-gradient tensors legitimately disagree in fp32
+    across conv backends)."""
+    got, want = np.asarray(got), np.asarray(want)
+    assert got.shape == want.shape, name
+    scale = np.abs(want).max()
+    assert scale > 0, f"{name}: degenerate zero reference gradient"
+    np.testing.assert_allclose(got, want, rtol=0, atol=rel * scale, err_msg=name)
+
+
+def _grad_close_norm(got, want, rel_l2, min_cos, name):
+    """Deep-conv-stack comparison: relative L2 + cosine. Calibration (probe,
+    round 3): compiling the SAME jax gradient two ways (jit vs eager) already
+    produces relL2 ~2.4e-2 / cos 0.9997 on these tensors — gradients through
+    50 train-mode BatchNorm layers are fp32-ill-conditioned, so elementwise
+    comparison against torch is meaningless below that floor. The measured
+    jax-vs-torch agreement (relL2 <= 4.3e-2, cos >= 0.999) sits within ~2x of
+    the jax-vs-jax floor; the bounds here allow ~2x headroom over THAT."""
+    got, want = np.asarray(got, np.float64), np.asarray(want, np.float64)
+    assert got.shape == want.shape, name
+    rl2 = np.linalg.norm(got - want) / np.linalg.norm(want)
+    cos = float((got * want).sum() / (np.linalg.norm(got) * np.linalg.norm(want)))
+    assert rl2 < rel_l2, f"{name}: relL2 {rl2:.3e} >= {rel_l2}"
+    assert cos > min_cos, f"{name}: cos {cos:.5f} <= {min_cos}"
+
+
+def test_encoder_gradients_match_reference(harness):
+    """backward_E's gradients vs jax.grad of forward_and_loss, from the heads
+    down through all of ResNet-50.
+
+    Two comparison regimes: the HEADS (above the conv stack) match
+    elementwise to ~1e-4 relative; the CONV STACK gradients are compared by
+    relative-L2 + cosine against the measured fp32 layout-sensitivity floor
+    (see _grad_close_norm — a tighter elementwise bound would fail between
+    two compilations of the SAME jax program)."""
+    ref = _ref_loss_and_grads(harness)
+    _, _, grads = _our_loss_and_grads(harness)
+
+    tg = {k: v.grad.detach().numpy() for k, v in ref.encoder.named_parameters()
+          if v.grad is not None}
+    g = grads  # flax tree
+
+    # heads (exact same math, tight; measured <= 6e-5)
+    for got, want in [
+        (g["regressor_ih"]["kernel"], tg["regressor_ih.0.weight"].T),
+        (g["regressor_ih"]["bias"], tg["regressor_ih.0.bias"]),
+        (g["hand_classifier"]["kernel"], tg["hand_classifier.0.weight"].T),
+        (g["fc2"]["kernel"], tg["feat_encoder.1.weight"].T),
+        (g["fc2"]["bias"], tg["feat_encoder.1.bias"]),
+        (g["main_encoder"]["fc1"]["kernel"], tg["main_encoder.fc1.weight"].T),
+    ]:
+        _grad_close(got, want, 1e-3, name=f"head grad {np.shape(want)}")
+
+    # conv stack (norm + direction vs the fp32 conditioning floor)
+    for got, want in [
+        (
+            np.transpose(g["main_encoder"]["layer4_2"]["conv3"]["kernel"], (3, 2, 0, 1)),
+            tg["main_encoder.layer4.2.conv3.weight"],
+        ),
+        (
+            np.transpose(g["main_encoder"]["layer1_0"]["conv1"]["kernel"], (3, 2, 0, 1)),
+            tg["main_encoder.layer1.0.conv1.weight"],
+        ),
+        (
+            np.transpose(g["main_encoder"]["conv1"]["kernel"], (3, 2, 0, 1)),
+            tg["main_encoder.conv1.weight"],
+        ),
+        (g["main_encoder"]["bn1"]["scale"], tg["main_encoder.bn1.weight"]),
+        (g["main_encoder"]["bn1"]["bias"], tg["main_encoder.bn1.bias"]),
+    ]:
+        _grad_close_norm(got, want, rel_l2=0.10, min_cos=0.995,
+                         name=f"conv grad {np.shape(want)}")
+
+
+def test_adam_training_trajectory_matches_reference(harness):
+    """Several optimize_parameters() steps vs our jitted train_step on the
+    same repeated batch: per-step total loss must track."""
+    import jax
+    import jax.numpy as jnp
+
+    from ihmr_tpu.train import train_step
+
+    h = harness
+    ref = h.ref
+    state = jax.tree_util.tree_map(jnp.copy, h.state)
+
+    ref_losses, our_losses = [], []
+    for step in range(4):
+        _ref_set_input(ref, h.batch, h.img)
+        ref.forward()
+        ref.optimizer.zero_grad()
+        ref.backward_E()
+        ref.optimizer.step()
+        ref_losses.append(float(ref.loss))
+
+        state, metrics = train_step(
+            h.encoder, state, h.batch, h.mano_right, h.mano_left, h.config
+        )
+        our_losses.append(float(metrics["total_loss"]))
+
+    # Growing per-step envelope (measured): step 0 agrees to ~1e-6 relative
+    # (the forward/loss parity), and each Adam step amplifies the fp32
+    # gradient-conditioning floor (~2e-2 relL2 between two compilations of
+    # the SAME jax program — see test_encoder_gradients_match_reference) by
+    # ~4x; measured per-step drift on this batch: 1.3e-6, 1.6e-3, 5.6e-3,
+    # 2.7e-2. The envelope below allows ~2x over each measured value; a
+    # WRONG optimizer (eps, bias correction, lr wiring) shifts every step by
+    # far more than these.
+    tol = [1e-4, 5e-3, 1.5e-2, 6e-2]
+    for i, (o, r) in enumerate(zip(our_losses, ref_losses)):
+        assert abs(o - r) <= tol[i] * abs(r), (i, o, r)
+    # shape: the per-step loss movements must agree in sign and magnitude
+    d_ours = np.diff(our_losses)
+    d_ref = np.diff(ref_losses)
+    assert np.abs(d_ref).max() > 1e-2, "trajectory vacuously flat"
+    assert np.all(np.sign(d_ours) == np.sign(d_ref))
+    np.testing.assert_allclose(d_ours, d_ref, rtol=0.35, atol=1e-2)

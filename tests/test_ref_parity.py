@@ -125,7 +125,10 @@ def ref():
         torch.nn.Module.cuda = saved_module_cuda
         torch.cuda.device = saved_cuda_device
         for name in list(sys.modules):
-            if name not in saved_modules:
+            # never evict torch internals: lazily-imported submodules
+            # (torch._dynamo/_inductor via optimizer.step) hold C-level
+            # TORCH_LIBRARY registrations that crash on re-import
+            if name not in saved_modules and name != "torch" and not name.startswith("torch."):
                 del sys.modules[name]
 
 
