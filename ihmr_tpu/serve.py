@@ -33,17 +33,40 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 
+class ServerSaturated(RuntimeError):
+    """Raised by submit() when the bounded request queue is full (the HTTP
+    layer maps this to 503 so callers get backpressure, not unbounded
+    latency)."""
+
+
 class MicroBatcher:
     """Collects single requests into fixed-size padded batches for a jitted
     predict function ``fn(batch_input) -> dict of arrays`` (leading batch
-    dim on every output)."""
+    dim on every output).
 
-    def __init__(self, fn: Callable, batch_size: int, max_wait_ms: float = 10.0):
+    Backpressure: the request queue is BOUNDED (``max_queue`` slots, default
+    8 full batches); when it is full, submit() raises ServerSaturated
+    immediately instead of queueing unbounded work. Per-sample validation:
+    when ``input_shape`` is given, a wrong-shaped/non-numeric sample fails
+    its own submit() call — it can never reach the broker thread (a bad
+    sample inside a batch previously killed the broker; advisor finding)."""
+
+    def __init__(
+        self,
+        fn: Callable,
+        batch_size: int,
+        max_wait_ms: float = 10.0,
+        max_queue: Optional[int] = None,
+        input_shape=None,
+    ):
         self.fn = fn
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1000.0
-        self._q: "queue.Queue" = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0}
+        self.input_shape = tuple(input_shape) if input_shape is not None else None
+        if max_queue is None:
+            max_queue = 8 * batch_size
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._stats = {"requests": 0, "batches": 0, "padded_slots": 0, "rejected": 0}
         self._lock = threading.Lock()
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -51,10 +74,23 @@ class MicroBatcher:
 
     # ------------------------------------------------------------- client
     def submit(self, x: np.ndarray):
-        """Enqueue ONE sample (no batch dim); returns a handle for wait()."""
+        """Enqueue ONE sample (no batch dim); returns a handle for wait().
+
+        Raises ValueError on a malformed sample, ServerSaturated on a full
+        queue — both synchronously, in the caller's thread."""
+        x = np.asarray(x, np.float32)  # non-numeric payloads fail HERE
+        if self.input_shape is not None and x.shape != self.input_shape:
+            raise ValueError(f"sample shape {x.shape} != expected {self.input_shape}")
         done = threading.Event()
         slot: Dict = {}
-        self._q.put((x, slot, done))
+        try:
+            self._q.put_nowait((x, slot, done))
+        except queue.Full:
+            with self._lock:
+                self._stats["rejected"] += 1
+            raise ServerSaturated(
+                f"request queue full ({self._q.maxsize} pending)"
+            ) from None
         return slot, done
 
     @staticmethod
@@ -92,11 +128,14 @@ class MicroBatcher:
                     items.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            xs = [np.asarray(x) for x, _, _ in items]
-            n = len(xs)
+            n = len(items)
             pad = self.batch_size - n
-            batch = np.stack(xs + [xs[0]] * pad, axis=0)
             try:
+                # assembly INSIDE the try: a ragged/bad sample that slipped
+                # past submit() validation fails this batch's waiters, not
+                # the broker thread (advisor finding, round 2)
+                xs = [np.asarray(x) for x, _, _ in items]
+                batch = np.stack(xs + [xs[0]] * pad, axis=0)
                 out = self.fn(batch)
                 out = {k: np.asarray(v) for k, v in out.items()}
                 for i, (_, slot, done) in enumerate(items):
@@ -167,13 +206,19 @@ class InferenceServer:
                     images = np.asarray(req["images"], np.float32)
                     if images.ndim == len(srv.input_shape):  # single sample
                         images = images[None]
-                    assert images.shape[1:] == srv.input_shape, (
-                        images.shape, srv.input_shape)
+                    if images.shape[1:] != srv.input_shape:
+                        # explicit check, not assert: must survive python -O
+                        self._send(400, {
+                            "error": f"input shape {images.shape[1:]} != "
+                                     f"expected {srv.input_shape}"})
+                        return
                     outs: List[Dict] = [
                         {k: v.tolist() for k, v in out.items()}
                         for out in srv.batcher.predict_many(list(images))
                     ]
                     self._send(200, {"results": outs})
+                except ServerSaturated as e:
+                    self._send(503, {"error": str(e), "retry_after_ms": 100})
                 except Exception as e:
                     self._send(400, {"error": repr(e)})
 

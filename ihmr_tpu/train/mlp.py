@@ -179,6 +179,7 @@ def train_mlp_stages(
                 opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
             loader.set_epoch(epoch)
             loss_stat.set_epoch(epoch)
+            printed_last = False  # a zero-batch epoch must not NameError below
             for batch_idx, raw in enumerate(loader):
                 batch = to_mlp_batch(raw)
                 _feat, cached_params, _losses = caches.retrieve(np.asarray(batch.index))

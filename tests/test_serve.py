@@ -140,6 +140,114 @@ def test_http_bad_input_is_400(server):
     assert exc.value.code == 400
 
 
+def test_bad_sample_fails_its_caller_not_the_broker(predict_fn):
+    """A malformed sample (wrong shape / non-numeric) must fail ITS OWN
+    submit/predict call; the broker thread survives and later good requests
+    still succeed (round-2 advisor: an unguarded np.stack killed the broker
+    permanently)."""
+    from ihmr_tpu.serve import MicroBatcher
+
+    b = MicroBatcher(predict_fn, batch_size=2, max_wait_ms=5, input_shape=(64, 64, 3))
+    try:
+        with pytest.raises(ValueError, match="shape"):
+            b.predict(np.zeros((3, 3), np.float32))
+        with pytest.raises((TypeError, ValueError)):
+            b.predict(np.asarray(object()))  # non-numeric payload
+        # broker still alive: a good request round-trips
+        out = b.predict(np.zeros((64, 64, 3), np.float32))
+        assert out["params"].shape == (122,)
+        # even a ragged batch assembled in the broker (no input_shape check)
+        # must only fail its own waiters
+        b2 = MicroBatcher(predict_fn, batch_size=2, max_wait_ms=50)
+        try:
+            h_bad = b2.submit(np.zeros((3, 3), np.float32))
+            h_bad2 = b2.submit(np.zeros((64, 64, 3), np.float32))
+            with pytest.raises(RuntimeError):
+                b2.wait(h_bad)
+            with pytest.raises(RuntimeError):
+                b2.wait(h_bad2)  # same batch -> same failure
+            out = b2.predict(np.zeros((64, 64, 3), np.float32))
+            assert out["params"].shape == (122,)
+        finally:
+            b2.stop()
+    finally:
+        b.stop()
+
+
+def test_saturation_raises_and_http_503():
+    """A full bounded queue rejects synchronously (ServerSaturated) and the
+    HTTP layer maps it to 503 — backpressure, not unbounded latency."""
+    import time
+
+    from ihmr_tpu.serve import InferenceServer, MicroBatcher, ServerSaturated
+
+    release = threading.Event()
+
+    def slow_fn(batch):
+        release.wait(10)
+        return {"y": np.zeros((batch.shape[0], 1), np.float32)}
+
+    b = MicroBatcher(slow_fn, batch_size=1, max_wait_ms=1, max_queue=2)
+    srv = InferenceServer(b, (4, 4, 3))
+    srv.start(0)
+    try:
+        x = np.zeros((4, 4, 3), np.float32)
+        handles = [b.submit(x)]  # taken by the broker, blocks in slow_fn
+        time.sleep(0.1)
+        handles += [b.submit(x), b.submit(x)]  # fills the 2-slot queue
+        with pytest.raises(ServerSaturated):
+            b.submit(x)
+        # HTTP surface: saturated -> 503 with a retry hint
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(srv.port, "/predict", {"images": [x.tolist()]})
+        assert exc.value.code == 503
+        assert b.stats()["rejected"] >= 2
+        release.set()  # drain
+        for h in handles:
+            b.wait(h)
+    finally:
+        release.set()
+        srv.stop()
+
+
+def test_concurrent_load_latency_and_efficiency(server):
+    """Sustained concurrent load: 24 requests from 8 threads must all
+    succeed with bounded p95 latency and real co-batching."""
+    import time
+
+    lat: list = []
+    errs: list = []
+    lock = threading.Lock()
+
+    def worker(tid):
+        try:
+            for j in range(3):
+                img = np.full((64, 64, 3), (tid * 3 + j) / 100, np.float32).tolist()
+                t0 = time.perf_counter()
+                status, body = _post(server.port, "/predict", {"images": [img]})
+                dt = time.perf_counter() - t0
+                assert status == 200 and len(body["results"]) == 1
+                with lock:
+                    lat.append(dt)
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(lat) == 24
+    lat.sort()
+    p95 = lat[int(0.95 * len(lat)) - 1]
+    # generous CI bound: each request is one <=20ms wait + one tiny program
+    assert p95 < 10.0, f"p95 latency {p95:.2f}s"
+    stats = server.batcher.stats()
+    assert stats["batches"] < stats["requests"]  # co-batching under load
+    assert stats["batch_efficiency"] > 0.25
+
+
 def test_concurrent_requests_share_batches(server):
     """8 parallel single-image requests against batch_size=4 must all
     succeed and use fewer than 8 program calls."""
