@@ -47,6 +47,12 @@ def main():
     model, params, batch = jax.device_put((model, params, batch), dev)
 
     def timeit(body, *args, iters=ITERS):
+        """Amortized timing for the HOT OPS: the op's (small) input pytree is
+        perturbed by the scalar carry so the scan cannot be folded. The
+        perturbation pass is over KB-scale params — negligible vs ms-scale
+        ops (NOT valid for the ceiling microbenchmarks below, where the input
+        IS the gigantic array; round-2 verdict, Weak #1)."""
+
         @jax.jit
         def looped(a0, rest):
             def step(carry, _):
@@ -61,28 +67,62 @@ def main():
         jax.block_until_ready(looped(args[0], args[1:]))
         return (time.perf_counter() - t0) / iters
 
+    def timeit_carry(step, x0, iters, const=None):
+        """Ceiling timing: the benchmarked ARRAY is the scan carry, so each
+        iteration depends on the previous one naturally — no perturbation
+        pass, no scalar-reduce serialization (this replaces the round-2
+        harness whose extra materialization pass deflated every ceiling).
+        ``iters`` must be large enough that the tunneled-TPU dispatch
+        round-trip (~10-30 ms per call) is negligible vs total compute.
+        ``const`` is threaded as a runtime ARGUMENT, never a closure: a
+        closed-over constant (e.g. full(1/M)) gets strength-reduced by the
+        algebraic simplifier — dot(broadcast(c), x) -> c * reduce(x) — and
+        the 'matmul' measures a reduction (the 730-'TFLOP/s' artifact)."""
+
+        @jax.jit
+        def looped(x, c):
+            body = (lambda cr, _: (step(cr, c), None)) if c is not None else (
+                lambda cr, _: (step(cr), None)
+            )
+            out, _ = jax.lax.scan(body, x, None, length=iters)
+            return out
+
+        jax.block_until_ready(looped(x0, const))
+        t0 = time.perf_counter()
+        jax.block_until_ready(looped(x0, const))
+        return (time.perf_counter() - t0) / iters
+
     # ------------------------------------------------------------- ceilings
+    # vendor peaks for TPU v5e: ~197 TFLOP/s bf16, ~819 GB/s HBM
     M = 4096
-    a = jnp.ones((M, M), jnp.bfloat16)
-    t = timeit(lambda x, y: x @ y, a, a, iters=10)
+    key = jax.random.PRNGKey(0)
+    # iid/sqrt(M): spectral radius ~1 (circular law) -> 200 applications stay
+    # finite in bf16; random data defeats constant strength-reduction
+    a = (jax.random.normal(key, (M, M), jnp.float32) / (M ** 0.5)).astype(jnp.bfloat16)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (M, M), jnp.float32).astype(jnp.bfloat16)
+    t = timeit_carry(
+        lambda x, c: (c @ x).astype(jnp.bfloat16), x0, iters=200, const=a
+    )
     mxu = 2 * M**3 / t
-    print(f"MXU ceiling (bf16 {M}^3 matmul):      {mxu / 1e12:7.1f} TFLOP/s")
+    print(f"MXU ceiling (bf16 {M}^3 matmul):      {mxu / 1e12:7.1f} TFLOP/s "
+          f"({100 * mxu / 197e12:.0f}% of vendor peak)")
 
-    v = jnp.ones((64, 1024, 1024), jnp.float32)
-
-    def fma_chain(x):  # 16 fused multiply-adds per element
-        for k in range(16):
-            x = x * 1.0000001 + 0.0000001
+    def vpu_chain(x):
+        # 16 dependent non-affine sub-steps (3 flops each) — XLA cannot
+        # algebraically collapse them the way it can an fma-constant chain
+        for _ in range(16):
+            x = x - 1e-9 * (x * x)
         return x
 
-    t = timeit(fma_chain, v, iters=10)
-    vpu = 16 * 2 * v.size / t
-    print(f"VPU ceiling (fp32 fma chain):         {vpu / 1e12:7.2f} TFLOP/s")
+    t = timeit_carry(vpu_chain, jnp.full((64, 1024, 1024), 0.5, jnp.float32), iters=100)
+    vpu = 16 * 3 * 64 * 1024 * 1024 / t
+    print(f"VPU ceiling (fp32 dependent chain):   {vpu / 1e12:7.2f} TFLOP/s")
 
     big = jnp.ones((512, 1024, 1024), jnp.uint8)  # 512 MB
-    t = timeit(lambda x: x + jnp.uint8(1), big, iters=10)
+    t = timeit_carry(lambda x: x + jnp.uint8(1), big, iters=100)
     hbm = 2 * big.size / t  # read + write
-    print(f"HBM ceiling (stream read+write):      {hbm / 1e9:7.0f} GB/s")
+    print(f"HBM ceiling (stream read+write):      {hbm / 1e9:7.0f} GB/s "
+          f"({100 * hbm / 819e9:.0f}% of vendor peak)")
 
     # ------------------------------------------------------------- hot ops
     V, F, J = 778, 1538, 16
