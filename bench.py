@@ -8,11 +8,14 @@ the loop, snapshot filter/select semantics identical to the reference
 entirely on-device as one jitted program per stage.
 
 The headline runs the VERIFIED default configuration: stride-2 query
-sampling against the FULL mesh with lazy nearest-face reselection — proven
-statistically identical to strict every-vertex/every-step sampling by
-16-seed paired studies on both the standard and the adversarial interlocked
-benchmarks (docs/quality_study.json; OptConfig docstrings). Set
-IHMR_BENCH_SUBSAMPLE=1 for the strict configuration.
+sampling against the FULL mesh, lazy nearest-face reselection, and
+block-frozen triangle POSITIONS (round 3: the per-step triangle-build
+gather pair hoisted to the snapshot-block boundary — 129 -> 276 hands/sec).
+Every fast knob is proven statistically identical to strict
+every-vertex/every-step sampling by 16-seed paired studies on both the
+standard and the adversarial interlocked benchmarks
+(docs/quality_study.json; OptConfig docstrings). Set IHMR_BENCH_SUBSAMPLE=1
+and IHMR_BENCH_FREEZE=0 for stricter configurations.
 
 Baseline: the reference publishes no numbers (BASELINE.md). ``VS_BASELINE_
 REF`` is an *estimate* of the reference pipeline on one A100: the CUDA SDF
@@ -36,6 +39,9 @@ VS_BASELINE_REF = 3.5  # estimated reference hands/sec on one A100 (see docstrin
 BATCH = int(os.environ.get("IHMR_BENCH_BATCH", "128"))
 SUBSAMPLE = int(os.environ.get("IHMR_BENCH_SUBSAMPLE", "2"))
 REPEATS = int(os.environ.get("IHMR_BENCH_REPEATS", "3"))
+# freeze triangle POSITIONS per snapshot block (round-3 kernel-work removal;
+# OptConfig.loop_collision_freeze_positions). Default follows OptConfig.
+FREEZE = os.environ.get("IHMR_BENCH_FREEZE")
 
 
 def log(*args):
@@ -79,7 +85,10 @@ def main():
     mano = jax.device_put(mano, device)
     params = jax.device_put(params, device)
     opt_batch = jax.device_put(opt_batch, device)
-    config = OptConfig(save_mid_freq=10, loop_collision_subsample=SUBSAMPLE)
+    kw = {}
+    if FREEZE is not None:
+        kw["loop_collision_freeze_positions"] = FREEZE == "1"
+    config = OptConfig(save_mid_freq=10, loop_collision_subsample=SUBSAMPLE, **kw)
 
     # the whole pipeline — encoder inference + full refinement — is ONE
     # compiled program: one device dispatch per batch (the tunneled TPU

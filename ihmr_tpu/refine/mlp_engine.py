@@ -176,16 +176,26 @@ def compute_losses(
     aux["shape_residual_loss"] = (res_r + res_l) * weights["shape_residual_loss"]
     total = total + aux["shape_residual_loss"]
 
-    coll, coll_batch, coll_origin = collision_loss(
-        rv,
-        lv,
-        model.faces,
-        faces_l,
-        batch.hand_type_array,
-        robustifier=config.robustifier,
-        num_candidates=config.num_candidates,
-        backend=config.collision_backend,
-    )
+    w_coll = weights["collision_loss"]
+    if isinstance(w_coll, (int, float)) and float(w_coll) == 0.0:
+        # static weight 0: skip the kernel entirely (collision-free schedules
+        # and the collision-free reference-oracle runs); note a weight-0
+        # schedule must not filter/select on collision (the batch is zeros)
+        B, V = rv.shape[0], rv.shape[1]
+        coll = jnp.zeros((), rv.dtype)
+        coll_batch = jnp.zeros((B,), rv.dtype)
+        coll_origin = jnp.zeros((B, 2 * V), rv.dtype)
+    else:
+        coll, coll_batch, coll_origin = collision_loss(
+            rv,
+            lv,
+            model.faces,
+            faces_l,
+            batch.hand_type_array,
+            robustifier=config.robustifier,
+            num_candidates=config.num_candidates,
+            backend=config.collision_backend,
+        )
     aux["collision_loss"] = coll * weights["collision_loss"]
     aux["collision_loss_batch"] = coll_batch * weights["collision_loss"]
     aux["collision_loss_origin_scale"] = coll_origin

@@ -44,7 +44,9 @@ from ihmr_tpu.ops.collision import (
     collision_loss,
     depths_to_loss,
     pair_depths_at,
+    pair_depths_at_tris,
     pair_indices,
+    pair_tris_at,
 )
 from ihmr_tpu.refine.schedule import OPT_DEFAULT_LOSS_WEIGHTS, Stage
 
@@ -116,7 +118,10 @@ class OptConfig:
     # filter/select comparisons always score the same (even) subset.
     # Quality gate: scripts/quality_study.py 16-seed paired vs strict.
     loop_collision_alternate: bool = flax.struct.field(pytree_node=False, default=False)
-    # Fused-engine option (DEFAULT ON): recompute the per-vertex
+    # Fused-engine option (DEFAULT ON; honored only with the fast XLA
+    # in-loop backend — loop_collision_fast=True and cluster==0; exact or
+    # 2-level in-loop backends reselect every step, see lazy_active()):
+    # recompute the per-vertex
     # nearest-face SELECTION once per snapshot period (save_mid_freq steps)
     # instead of every step, while the selected faces' positions still track
     # the current mesh every step. The (V, F) rank+argmin is ~60% of the
@@ -132,6 +137,52 @@ class OptConfig:
     # Only the fused engine honors this; the per-stage fallback engine
     # always reselects every step.
     loop_collision_lazy_reselect: bool = flax.struct.field(pytree_node=False, default=True)
+
+    # Fused-engine option (DEFAULT ON since round 3): with lazy reselection
+    # on, ALSO freeze the selected triangles' vertex POSITIONS for the
+    # snapshot block (not just the discrete selection). The per-step triangle
+    # build — the mesh_verts[faces] + row-gather pair that tracing showed as
+    # the dominant per-step fusions (~0.31 ms/step both directions at B=128;
+    # docs/PERFORMANCE.md) — then hoists to the block boundary and the step
+    # touches NO gathers at all: MEASURED 129.0 -> 276.6 hands/sec end-to-end
+    # on v5e batch 128 (2.14x). Semantics: the mesh side is stop_gradient'd
+    # in EVERY in-loop variant, so gradients are identical in structure; the
+    # depth magnitude lags the other hand's motion by at most one snapshot
+    # period, and every block starts ON a snapshot step, so all filter/select
+    # comparisons use fully fresh positions — the same staleness contract as
+    # lazy reselection. Quality gate (round-3 16-seed PAIRED study,
+    # docs/quality_study.json): within noise of strict on every cell —
+    # standard B=128 +0.003+/-0.007, interlocked B=64 -0.23+/-0.57,
+    # interlocked B=128 +0.60+/-0.65 paired final-exact collision (the last
+    # cell is borderline-but-passing and equally noisy for the non-frozen
+    # config, +0.33+/-0.66); GT-joint error flat or better everywhere.
+    # Exactness: at save_mid_freq=1 this path is bit-equivalent to per-step
+    # positions (tests/test_opt_engine.py::TestFrozenPositions).
+    loop_collision_freeze_positions: bool = flax.struct.field(
+        pytree_node=False, default=True
+    )
+
+    def lazy_active(self) -> bool:
+        """Whether the fused engine may freeze nearest-face selections.
+
+        The frozen-selection path IS the fast nearest-centroid approximation;
+        a user selecting an exact in-loop backend (loop_collision_fast=False)
+        or the 2-level experiment (cluster>0) must not be silently downgraded
+        to it (advisor finding, round 2)."""
+        return (
+            self.loop_collision_lazy_reselect
+            and self.loop_collision_fast
+            and self.loop_collision_cluster == 0
+        )
+
+    def grid_in_loop(self) -> bool:
+        """In-loop collision via the reference-mechanism 32^3 grid backend
+        (ops.grid_sdf): selected with loop_collision_fast=False +
+        collision_backend='grid'. The fused engine rebuilds the grids once
+        per snapshot block (grid staleness <= one block, fresh at every
+        snapshot — voxel discretization ~bbox/32 dwarfs the ~mm/step vertex
+        motion) and trilinearly samples live queries per step."""
+        return (not self.loop_collision_fast) and self.collision_backend == "grid"
 
 
 ParamDict = Dict[str, jnp.ndarray]
@@ -197,6 +248,8 @@ def compute_losses(
     in_loop: bool = False,
     coll_idx: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     coll_parity: Optional[jnp.ndarray] = None,
+    coll_tris: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    coll_grid=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """All OPT losses (ref optimize_model.py:276-330).
 
@@ -257,7 +310,44 @@ def compute_losses(
     # mesh stays full (faces index all 778 vertices)
     faces_r_s = model.faces[::fsub] if fsub > 1 else model.faces
     faces_l_s = faces_l[::fsub] if fsub > 1 else faces_l
-    if in_loop and coll_idx is not None:
+    # the frozen-selection and parity-alternating paths below ARE the flat
+    # fast nearest-centroid approximation; never take them when the user
+    # chose a different in-loop backend (advisor finding, round 2)
+    fast_in_loop = (
+        in_loop and config.loop_collision_fast and config.loop_collision_cluster == 0
+    )
+    w_coll = weights["collision_loss_weight"]
+    if in_loop and isinstance(w_coll, (int, float)) and float(w_coll) == 0.0:
+        # weight 0 means collision exerts no gradient and no filter pressure
+        # (a weight-0 schedule never filters/selects on collision); the
+        # weights are STATIC floats, so skip the kernel entirely instead of
+        # computing work that is multiplied by zero. This makes collision-free
+        # schedules (and the collision-free reference-oracle/CPU-anchor runs)
+        # genuinely collision-free in compute, not just in effect.
+        B, V = rv.shape[0], rv.shape[1]
+        coll = jnp.zeros((), rv.dtype)
+        coll_batch = jnp.zeros((B,), rv.dtype)
+        coll_origin = jnp.zeros((B, 2 * V), rv.dtype)
+    elif in_loop and coll_grid is not None:
+        # block-frozen reference-mechanism grids (OptConfig.grid_in_loop):
+        # live queries trilinearly sample the per-hand phi fields
+        from ihmr_tpu.ops.grid_sdf import pair_depths_grid
+
+        q_r, q_l = _query_subsets(rv, lv, sub, coll_parity)
+        depths = pair_depths_grid(q_r, q_l, coll_grid)
+        coll, coll_batch, coll_origin = depths_to_loss(
+            depths, rv, lv, batch.hand_type_array, config.robustifier
+        )
+    elif fast_in_loop and coll_tris is not None:
+        # block-frozen triangle POSITIONS (loop_collision_freeze_positions):
+        # live queries against triangles pre-built at the block boundary —
+        # the per-step path contains zero gathers
+        q_r, q_l = _query_subsets(rv, lv, sub, coll_parity)
+        depths = pair_depths_at_tris(q_r, q_l, *coll_tris)
+        coll, coll_batch, coll_origin = depths_to_loss(
+            depths, rv, lv, batch.hand_type_array, config.robustifier
+        )
+    elif fast_in_loop and coll_idx is not None:
         # frozen nearest-face selection (recomputed by the caller once per
         # snapshot period): faces' POSITIONS track the current mesh, only
         # the discrete selection is reused — see
@@ -267,7 +357,7 @@ def compute_losses(
         coll, coll_batch, coll_origin = depths_to_loss(
             depths, rv, lv, batch.hand_type_array, config.robustifier
         )
-    elif in_loop and coll_parity is not None:
+    elif fast_in_loop and coll_parity is not None:
         q_r, q_l = _query_subsets(rv, lv, sub, coll_parity)
         idx = pair_indices(q_r, q_l, rv, lv, faces_r_s, faces_l_s)
         depths = pair_depths_at(q_r, q_l, rv, lv, faces_r_s, faces_l_s, *idx)
@@ -445,12 +535,25 @@ def _stack_stage_constants(strategy: Tuple[Stage, ...]):
     return masks, lrs, weights
 
 
-def _lazy_coll_indices(model: ManoModel, p: ParamDict, config: OptConfig, parities):
-    """Nearest-face selections for both directions at the CURRENT params,
-    matching compute_losses' in-loop query subsetting: one (idx_r, idx_l)
-    pair per entry of ``parities`` (None = fixed-stride subset), sharing a
-    single decode."""
+def _lazy_coll_payload(
+    model: ManoModel, p: ParamDict, config: OptConfig, parities, mode: str
+):
+    """Per-block collision payload at the CURRENT params, matching
+    compute_losses' in-loop query subsetting: one entry per parity in
+    ``parities`` (None = fixed-stride subset), sharing a single decode.
+
+    mode='idx': nearest-face selections (idx_r, idx_l) — positions rebuilt
+    every step. mode='tris': the selected triangles' POSITIONS (tri_r, tri_l)
+    — the step touches no gathers at all
+    (OptConfig.loop_collision_freeze_positions). mode='grid': the
+    reference-mechanism per-hand phi grids (query-independent — ONE entry
+    regardless of parities; OptConfig.grid_in_loop)."""
     rv, lv, _, _ = forward(model, p)
+    if mode == "grid":
+        from ihmr_tpu.ops.grid_sdf import pair_grids
+
+        # grids use the FULL face set (the reference voxelizes the full mesh)
+        return (pair_grids(rv, lv, model.faces, model.faces[:, ::-1]),)
     sub = config.loop_collision_subsample
     fsub = config.loop_collision_face_subsample
     faces_l = model.faces[:, ::-1]
@@ -459,7 +562,11 @@ def _lazy_coll_indices(model: ManoModel, p: ParamDict, config: OptConfig, pariti
     out = []
     for par in parities:
         q_r, q_l = _query_subsets(rv, lv, sub, par)
-        out.append(pair_indices(q_r, q_l, rv, lv, faces_r_s, faces_l_s))
+        idx = pair_indices(q_r, q_l, rv, lv, faces_r_s, faces_l_s)
+        if mode == "tris":
+            out.append(pair_tris_at(rv, lv, faces_r_s, faces_l_s, *idx))
+        else:
+            out.append(idx)
     return tuple(out)
 
 
@@ -491,12 +598,26 @@ def run_all_stages_fused(
     alternate = (
         config.loop_collision_alternate and config.loop_collision_subsample == 2
     )
+    # collision weight 0 in EVERY stage: re-staticize the (scanned, traced)
+    # weight so compute_losses' static skip removes the kernel from the
+    # program (collision-free schedules / reference-oracle runs)
+    all_coll_zero = all(
+        float(dict(s.loss_weights)["collision_loss_weight"]) == 0.0 for s in strategy
+    )
 
-    def grad_fn(p, w, coll_idx=None, parity=None):
+    grid_mode = config.grid_in_loop()
+    payload_mode = "grid" if grid_mode else (
+        "tris" if config.loop_collision_freeze_positions else "idx"
+    )
+
+    def grad_fn(p, w, payload=None, parity=None):
+        if all_coll_zero:
+            w = dict(w, collision_loss_weight=0.0)
+        kw = {"coll_" + payload_mode: payload}
         return jax.value_and_grad(
             lambda q: compute_losses(
                 model, q, batch, w, config,
-                in_loop=True, coll_idx=coll_idx, coll_parity=parity,
+                in_loop=True, coll_parity=parity, **kw,
             ),
             has_aux=True,
         )(p)
@@ -506,21 +627,24 @@ def run_all_stages_fused(
         m = _tree_zeros(params)
         v = _tree_zeros(params)
 
-        def make_step(coll_idx_set):
+        def make_step(payload_set):
             def step(carry, j):
                 params, m, v, best, best_select, bars = carry
                 parity = (j % 2) if alternate else None
-                if coll_idx_set is None:
-                    coll_idx = None
-                elif alternate:
+                if payload_set is None:
+                    payload = None
+                elif alternate and len(payload_set) == 2:
+                    # parity-alternating selections (grid payloads are
+                    # query-independent: always a single entry)
                     even = (j % 2) == 0
-                    coll_idx = tuple(
-                        jnp.where(even, e, o)
-                        for e, o in zip(coll_idx_set[0], coll_idx_set[1])
+                    payload = jax.tree_util.tree_map(
+                        lambda e, o: jnp.where(even, e, o),
+                        payload_set[0],
+                        payload_set[1],
                     )
                 else:
-                    coll_idx = coll_idx_set[0]
-                (_, aux), grads = grad_fn(params, w, coll_idx, parity)
+                    payload = payload_set[0]
+                (_, aux), grads = grad_fn(params, w, payload, parity)
                 grads = {k: grads[k] * mask[k] for k in grads}
 
                 cur = jnp.stack([aux[_FILTER_KEYS[n]] for n in filter_names], 0)  # (NF, B)
@@ -558,25 +682,30 @@ def run_all_stages_fused(
         steps = s0.epoch + 1
         # parities the selection must cover: fixed subset unless alternating
         parities = (jnp.int32(0), jnp.int32(1)) if alternate else (None,)
-        if not config.loop_collision_lazy_reselect:
+        blocked = (not all_coll_zero) and (config.lazy_active() or grid_mode)
+        if not blocked:
             carry, _ = jax.lax.scan(make_step(None), carry, jnp.arange(steps))
         else:
             freq = config.save_mid_freq
             nblocks, tail = divmod(steps, freq)
 
             def block(carry, b):
-                coll_idx_set = _lazy_coll_indices(model, carry[0], config, parities)
+                payload_set = _lazy_coll_payload(
+                    model, carry[0], config, parities, payload_mode
+                )
                 carry, _ = jax.lax.scan(
-                    make_step(coll_idx_set), carry, b * freq + jnp.arange(freq)
+                    make_step(payload_set), carry, b * freq + jnp.arange(freq)
                 )
                 return carry, None
 
             if nblocks:
                 carry, _ = jax.lax.scan(block, carry, jnp.arange(nblocks))
             if tail:
-                coll_idx_set = _lazy_coll_indices(model, carry[0], config, parities)
+                payload_set = _lazy_coll_payload(
+                    model, carry[0], config, parities, payload_mode
+                )
                 carry, _ = jax.lax.scan(
-                    make_step(coll_idx_set), carry, nblocks * freq + jnp.arange(tail)
+                    make_step(payload_set), carry, nblocks * freq + jnp.arange(tail)
                 )
         return carry[3], None
 

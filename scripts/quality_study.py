@@ -25,10 +25,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEEDS = int(os.environ.get("IHMR_STUDY_SEEDS", "16"))
 BATCHES = tuple(int(b) for b in os.environ.get("IHMR_STUDY_BATCHES", "64,128").split(","))
-# (vertex_sub, face_sub, lazy_reselect); strict reference = (1, 1, False)
-# (2, 2, True) is the SHIPPING default (verified after fixing the round-1
-# OOB-clamped-mesh bug that had made subsampling look quality-lossy)
-CONFIGS = ((1, 1, False), (1, 1, True), (2, 2, True))
+# (vertex_sub, face_sub, lazy_reselect, freeze_positions);
+# strict reference = (1, 1, False, False).
+# (2, 2, True, False) was the round-2 shipping default (verified after fixing
+# the round-1 OOB-clamped-mesh bug that had made subsampling look lossy);
+# (2, 2, True, True) additionally freezes the selected triangles' POSITIONS
+# within each snapshot block (round-3 candidate — hoists the dominant
+# per-step gather pair out of the hot loop; OptConfig docstring).
+CONFIGS = (
+    (1, 1, False, False),
+    (1, 1, True, False),
+    (2, 2, True, False),
+    (2, 2, True, True),
+)
 
 
 def main():
@@ -51,12 +60,13 @@ def main():
     rows = []
     for bench in ("standard", "interlocked"):
         for B in BATCHES:
-            for sub, fsub, lazy in CONFIGS:
+            for sub, fsub, lazy, freeze in CONFIGS:
                 cfg = OptConfig(
                     save_mid_freq=10,
                     loop_collision_subsample=sub,
                     loop_collision_face_subsample=fsub,
                     loop_collision_lazy_reselect=lazy,
+                    loop_collision_freeze_positions=freeze,
                 )
                 coll, j3dp, dmean, dmax = [], [], [], []
                 t0 = time.perf_counter()
@@ -85,6 +95,7 @@ def main():
                     sub=sub,
                     fsub=fsub,
                     lazy=lazy,
+                    freeze=freeze,
                     coll_mean=float(np.mean(coll)),
                     coll_std=float(np.std(coll)),
                     j3d_mean=float(np.mean(j3dp)),
@@ -97,7 +108,7 @@ def main():
                 )
                 rows.append(row)
                 print(
-                    f"{bench:12s} B={B:<4d} sub={sub} fsub={fsub} lazy={int(lazy)}: "
+                    f"{bench:12s} B={B:<4d} sub={sub} fsub={fsub} lazy={int(lazy)} frz={int(freeze)}: "
                     f"coll={row['coll_mean']:.4f}+/-{row['coll_std']:.4f}  "
                     f"j3d={row['j3d_mean']:.3f}+/-{row['j3d_std']:.3f}  "
                     f"pen_depth={row['depth_mean']:.5f} max={row['depth_max_mean']:.5f} "
@@ -116,12 +127,13 @@ def main():
     # seed-to-seed scatter; a config passes a cell when its mean paired
     # collision regression is within 2 standard errors of the paired diff.
     print("\npaired verdicts (mean per-seed collision diff vs strict +/- 2se):")
-    ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1, False)}
+    ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1, False, False)}
     for bench in ("standard", "interlocked"):
         for B in BATCHES:
-            r = {((row["sub"], row["fsub"], row["lazy"])): row for row in rows
+            r = {((row["sub"], row["fsub"], row["lazy"], row["freeze"])): row
+                 for row in rows
                  if row["bench"] == bench and row["batch"] == B}
-            strict = np.asarray(r[(1, 1, False)]["coll_per_seed"])
+            strict = np.asarray(r[(1, 1, False, False)]["coll_per_seed"])
             for cfg in ok:
                 fast = np.asarray(r[cfg]["coll_per_seed"])
                 d = fast - strict
@@ -129,10 +141,11 @@ def main():
                 verdict = "OK" if d.mean() <= 2 * se else "WORSE"
                 if verdict == "WORSE":
                     ok[cfg] = False
-                print(f"  {bench:12s} B={B:<4d} sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])}: "
+                print(f"  {bench:12s} B={B:<4d} sub={cfg[0]} fsub={cfg[1]} "
+                      f"lazy={int(cfg[2])} frz={int(cfg[3])}: "
                       f"{d.mean():+.4f} +/- {2 * se:.4f}  {verdict}")
     for cfg, good in ok.items():
-        print(f"CONFIG sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])}: "
+        print(f"CONFIG sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])} frz={int(cfg[3])}: "
               + ("within noise of strict on every cell" if good else "DEGRADES QUALITY"))
 
 

@@ -86,9 +86,11 @@ def main():
     finally:
         with contextlib.suppress(StopIteration):
             next(it)
+    n_steps = 4 * (EPOCH + 1)
     ref_hps = BATCH / t_ref
     print(f"reference torch-CPU OPT: {t_ref:.1f}s for batch {BATCH} "
-          f"({4 * (EPOCH + 1)} steps) -> {ref_hps:.2f} hands/sec")
+          f"({n_steps} steps, {1e3 * t_ref / n_steps:.1f} ms/step) "
+          f"-> {ref_hps:.2f} hands/sec")
 
     # ---- ours (jax CPU, same schedule)
     import jax
@@ -105,13 +107,14 @@ def main():
     jax.block_until_ready(out["trans"])
     t_ours = time.perf_counter() - t0
     ours_hps = BATCH / t_ours
-    print(f"rebuild jax-CPU OPT:     {t_ours:.1f}s -> {ours_hps:.2f} hands/sec")
+    print(f"rebuild jax-CPU OPT:     {t_ours:.1f}s "
+          f"({1e3 * t_ours / n_steps:.1f} ms/step) -> {ours_hps:.2f} hands/sec")
     print(
-        f"NOTE: the reference number is collision-FREE (its CUDA SDF cannot "
-        f"run here) — an upper bound on its CPU speed; the rebuild number "
-        f"includes the full in-loop collision. jax-CPU/torch-CPU ratio: "
-        f"{ours_hps / ref_hps:.2f}x (XLA:CPU is not the design point; see "
-        f"bench.py for the TPU number)."
+        f"apples-to-apples: SAME schedule ({n_steps} steps), SAME inputs, "
+        f"BOTH collision-free (the reference's CUDA SDF cannot run here; our "
+        f"engine statically skips the kernel at collision weight 0). "
+        f"per-step ratio ours/ref: {t_ref / t_ours:.2f}x "
+        f"(XLA:CPU is not the design point; see bench.py for the TPU number)."
     )
 
 
