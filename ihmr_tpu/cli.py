@@ -211,7 +211,12 @@ def cmd_serve(args):
     jax.block_until_ready(out["params"])
     print(f"warmup compile: {_time.perf_counter() - t0:.1f}s", flush=True)
 
-    batcher = MicroBatcher(predict, args.serve_batch, max_wait_ms=args.max_wait_ms)
+    batcher = MicroBatcher(
+        predict,
+        args.serve_batch,
+        max_wait_ms=args.max_wait_ms,
+        input_shape=(args.inputSize, args.inputSize, 3),
+    )
     server = InferenceServer(batcher, (args.inputSize, args.inputSize, 3))
     server.start(args.port)
     print("POST /predict, GET /healthz, GET /stats — Ctrl-C to stop", flush=True)
@@ -284,12 +289,16 @@ def cmd_optimize(args):
     dataset.load_data()
     loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
     mano_right, mano_left, _, _ = _load_mano(args)
+    grid = args.loop_collision_backend == "grid"
     config = OptConfig(
         optimizer=args.optimizer,
         save_mid_freq=args.save_mid_freq,
         loop_collision_subsample=args.loop_collision_subsample,
         loop_collision_face_subsample=args.loop_collision_face_subsample,
         loop_collision_lazy_reselect=not args.loop_collision_eager_reselect,
+        loop_collision_freeze_positions=not args.loop_collision_track_positions,
+        loop_collision_fast=not grid,
+        collision_backend="grid" if grid else "auto",
     )
     strategy = strategies[args.strategy]
     if args.stage_epochs is not None:
@@ -393,14 +402,20 @@ def cmd_visualize(args):
 
 def main(argv=None):
     # persistent XLA compilation cache: repeat CLI invocations skip the
-    # (tens of seconds) cold-start compiles
+    # (tens of seconds) cold-start compiles. IHMR_NO_COMPILE_CACHE=1 opts
+    # out — the test suite sets it (tests/conftest.py): a cache entry
+    # compiled on a DIFFERENT machine loads as foreign-ISA XLA:CPU AOT code
+    # and can SIGSEGV (observed when round-2 cache entries met a new host;
+    # xla's cpu_aot_loader warns "+prefer-no-scatter is not supported ...
+    # could lead to execution errors such as SIGILL" and then crashes).
     try:
         import jax
 
-        jax.config.update(
-            "jax_compilation_cache_dir", osp.expanduser("~/.cache/ihmr_jax")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if not os.environ.get("IHMR_NO_COMPILE_CACHE"):
+            jax.config.update(
+                "jax_compilation_cache_dir", osp.expanduser("~/.cache/ihmr_jax")
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
@@ -461,6 +476,18 @@ def main(argv=None):
                    help="recompute the nearest-face selection every step "
                         "instead of once per snapshot period (1.65x slower, "
                         "measured quality-identical)")
+    p.add_argument("--loop_collision_track_positions", action="store_true",
+                   help="rebuild the selected triangles' positions every "
+                        "step instead of once per snapshot block (2.1x "
+                        "slower; the default frozen-positions path is "
+                        "quality-gated by the 16-seed paired study)")
+    p.add_argument("--loop_collision_backend", choices=["fast", "grid"],
+                   default="fast",
+                   help="'fast' = nearest-face (shipping default); 'grid' = "
+                        "the reference's 32^3 phi-grid mechanism in the loop "
+                        "(~15-20x slower, resolves deep interlocks ~16x "
+                        "further at ~20%% higher GT-joint error; "
+                        "docs/grid_sdf_study.json)")
     p.add_argument("--obj_dump_dir", default=None,
                    help="dump each batch's first refined sample as .obj here")
     p.add_argument("--export_pseudo_gt", default="",

@@ -383,6 +383,58 @@ def pair_depths_at(
     return jnp.concatenate([d_r, d_l], axis=1)
 
 
+def pair_tris_at(
+    mesh_r: jnp.ndarray,  # (B, 778, 3) FULL vertex arrays
+    mesh_l: jnp.ndarray,  # (B, 778, 3)
+    faces_right: jnp.ndarray,
+    faces_left: jnp.ndarray,
+    idx_r: jnp.ndarray,  # (B, Vq) nearest-face ids for right queries (vs LEFT mesh)
+    idx_l: jnp.ndarray,  # (B, Vq)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize the selected triangles' vertex positions for both
+    directions: (tri_r, tri_l), each (B, Vq, 3, 3).
+
+    This is the expensive triangle build (mesh_verts[faces] + row gather —
+    the dominant per-step fusion pair when done inside the step); calling it
+    once per snapshot block and feeding ``pair_depths_at_tris`` hoists that
+    cost out of the hot loop entirely (OptConfig.loop_collision_freeze_
+    positions)."""
+
+    def build(mesh, faces, idx):
+        tri = jax.lax.stop_gradient(mesh)[faces].reshape(-1, 9)  # (F, 9)
+        return tri[idx].reshape(-1, 3, 3)
+
+    tri_r = jax.vmap(lambda m, i: build(m, faces_left, i))(mesh_l, idx_r)
+    tri_l = jax.vmap(lambda m, i: build(m, faces_right, i))(mesh_r, idx_l)
+    return tri_r, tri_l
+
+
+def _depth_at_tris_single(query: jnp.ndarray, tri_best: jnp.ndarray) -> jnp.ndarray:
+    """(V, 3) live queries vs (V, 3, 3) PRE-BUILT triangles -> (V,) depths.
+    The triangle positions are block-frozen (stop_gradient'd at build); the
+    gradient path is the query side only — identical to the per-step variant,
+    whose mesh side is detached too (penetration_depth_at)."""
+    closest = point_triangle_closest(query, tri_best)
+    diff = query - closest
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), _EPS))
+    normal = jnp.cross(tri_best[:, 1] - tri_best[:, 0], tri_best[:, 2] - tri_best[:, 0])
+    inside = jnp.sum(diff * normal, axis=-1) < 0
+    return jnp.where(inside, dist, 0.0)
+
+
+def pair_depths_at_tris(
+    query_r: jnp.ndarray,  # (B, Vq, 3)
+    query_l: jnp.ndarray,  # (B, Vq, 3)
+    tri_r: jnp.ndarray,  # (B, Vq, 3, 3) from pair_tris_at
+    tri_l: jnp.ndarray,  # (B, Vq, 3, 3)
+) -> jnp.ndarray:
+    """(B, 2*Vq) depths of live queries against block-frozen triangles —
+    the zero-gather per-step variant of pair_depths_at."""
+    d_r = jax.vmap(_depth_at_tris_single)(query_r, tri_r)
+    d_l = jax.vmap(_depth_at_tris_single)(query_l, tri_l)
+    return jnp.concatenate([d_r, d_l], axis=1)
+
+
 def penetration_depth_fast(
     query: jnp.ndarray,  # (V, 3)
     mesh_verts: jnp.ndarray,  # (Vm, 3)
@@ -485,6 +537,14 @@ def collision_loss(
         depths = jax.vmap(
             lambda r, l: pair_depths_pallas(r, l, faces_right, faces_left)
         )(right_verts, left_verts)  # (B, 1556)
+    elif backend == "grid":
+        # the REFERENCE's mechanism: 32^3 per-hand penetration grid +
+        # trilinear sampling (ihmr_tpu.ops.grid_sdf; used by the in-loop
+        # cross-check study, scripts/grid_sdf_study.py)
+        from ihmr_tpu.ops.grid_sdf import pair_depths_grid, pair_grids
+
+        grids = pair_grids(right_verts, left_verts, faces_right, faces_left)
+        depths = pair_depths_grid(right_verts[:, ::s], left_verts[:, ::s], grids)
     else:
         assert backend == "xla", backend
         depths = jax.vmap(

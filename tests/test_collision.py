@@ -159,3 +159,131 @@ class TestCollisionLoss:
         verts, faces = icosphere(1.0)
         vol = mesh_volume(verts, faces)
         assert abs(vol - 4 / 3 * np.pi) < 0.3
+
+
+class TestGridBackend:
+    """The reference-mechanism 32^3 grid backend (ops.grid_sdf; the in-loop
+    cross-check of scripts/grid_sdf_study.py)."""
+
+    def test_grid_matches_exact_on_sphere(self):
+        """Known geometry: phi of a unit sphere is r - |x| inside. The grid
+        build + trilinear sample must reproduce it (validates voxelization,
+        inside test, cube mapping, interpolation in one shot)."""
+        import jax.numpy as jnp
+
+        from ihmr_tpu.ops.grid_sdf import build_penetration_grid, trilinear_sample
+
+        nu, nv = 12, 24
+        th = np.pi * np.arange(nu + 1) / nu
+        ph = 2 * np.pi * np.arange(nv) / nv
+        verts = np.stack(
+            [
+                np.outer(np.sin(th), np.cos(ph)),
+                np.outer(np.sin(th), np.sin(ph)),
+                np.outer(np.cos(th), np.ones(nv)),
+            ],
+            axis=-1,
+        ).reshape(-1, 3)
+        vid = lambda i, j: i * nv + (j % nv)
+        faces = []
+        for i in range(nu):
+            for j in range(nv):
+                faces.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)])
+                faces.append([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)])
+        v = jnp.asarray(verts, jnp.float32)
+        f = jnp.asarray(faces, jnp.int32)
+
+        grid, c, h = build_penetration_grid(v, f)
+        pts = jnp.asarray(
+            [[0, 0, 0], [0.5, 0, 0], [0, 0.8, 0], [1.5, 0, 0]], jnp.float32
+        )
+        phi = np.asarray(trilinear_sample(grid, c, h, pts))
+        np.testing.assert_allclose(phi, [1.0, 0.5, 0.2, 0.0], atol=0.12)
+
+    def test_grid_tracks_exact_on_realistic_contacts(self):
+        """On realistic interlocked contact states (the noisy-init decode the
+        refinement actually sees) the grid must register super-cell contacts
+        and track the exact backend's per-sample losses on most interacting
+        samples. Contacts thinner than a voxel legitimately vanish
+        (documented discretization), and occasional DEEPLY-tangled samples
+        can disagree — there the inside-sign heuristics of BOTH backends are
+        evaluated at different points of a non-watertight tangle and neither
+        is ground truth. Measured calibration (batch 8, seed 0): 97% of
+        >=1-cell contacts register; per-sample losses track within ~2% on
+        agreeing samples."""
+        import jax.numpy as jnp
+
+        from ihmr_tpu.data.synthetic import make_opt_inputs
+        from ihmr_tpu.mano import synthetic_mano_model
+        from ihmr_tpu.ops.collision import collision_loss
+        from ihmr_tpu.refine.opt_engine import forward
+
+        m = synthetic_mano_model()
+        p, b = make_opt_inputs(m, batch=8, seed=0, interlocked=True)
+        rv, lv, _, _ = forward(m, p)
+        fl = m.faces[:, ::-1]
+        ht = jnp.ones((8, 2))
+        _, ps_grid, d_grid = collision_loss(rv, lv, m.faces, fl, ht, backend="grid")
+        _, ps_xla, d_xla = collision_loss(rv, lv, m.faces, fl, ht, backend="xla")
+        d_grid, d_xla = np.asarray(d_grid), np.asarray(d_xla)
+        ps_grid, ps_xla = np.asarray(ps_grid), np.asarray(ps_xla)
+
+        span = float(np.max(np.asarray(lv)) - np.min(np.asarray(lv)))
+        cell = (1.2 * span) / 31  # padded cube / (res-1)
+        deep = d_xla > cell
+        assert deep.sum() > 10, "benchmark must produce super-cell contacts"
+        assert (d_grid[deep] > 0.25 * d_xla[deep]).mean() > 0.8
+
+        # per-sample losses: most samples the exact backend flags as
+        # substantially colliding must also be flagged by the grid
+        hot = ps_xla > 0.05
+        assert hot.sum() >= 2
+        agree = (ps_grid[hot] > 0.25 * ps_xla[hot]) & (ps_grid[hot] < 4 * ps_xla[hot])
+        assert agree.mean() >= 0.5, (ps_grid, ps_xla)
+
+    def test_trilinear_gradient_points_outward(self):
+        """phi decreases toward the surface: the gradient wrt a penetrating
+        query must be nonzero and finite (the in-loop use is a gradient)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ihmr_tpu.data.synthetic import make_opt_inputs
+        from ihmr_tpu.mano import synthetic_mano_model
+        from ihmr_tpu.ops.grid_sdf import build_penetration_grid, trilinear_sample
+        from ihmr_tpu.refine.opt_engine import forward
+
+        from ihmr_tpu.mano.layer import two_hand_decode_mirrored
+
+        m = synthetic_mano_model()
+        p, b = make_opt_inputs(m, batch=1, seed=0, interlocked=True)
+        # GT params: guaranteed-deep interlock (init params are noisy and may
+        # not overlap at batch 1)
+        rv, lv, _ = two_hand_decode_mirrored(
+            m,
+            b.gt_pose_params[:, 0:3], b.gt_pose_params[:, 48:51],
+            b.gt_pose_params[:, 3:48], b.gt_pose_params[:, 51:96],
+            b.gt_shape_params[:, :10], b.gt_shape_params[:, 10:],
+            b.hand_trans[:, 0, :3],
+        )
+        grid, c, h = build_penetration_grid(lv[0], m.faces[:, ::-1])
+        phi = trilinear_sample(grid, c, h, rv[0])
+        assert float(jnp.max(phi)) > 0, "interlocked pair must penetrate"
+        g = jax.grad(lambda q: jnp.sum(trilinear_sample(grid, c, h, q)))(rv[0])
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g[np.asarray(phi) > 0]).max() > 0
+
+    def test_phi_zero_outside_cube_and_far_points(self):
+        import jax.numpy as jnp
+
+        from ihmr_tpu.data.synthetic import make_opt_inputs
+        from ihmr_tpu.mano import synthetic_mano_model
+        from ihmr_tpu.ops.grid_sdf import build_penetration_grid, trilinear_sample
+        from ihmr_tpu.refine.opt_engine import forward
+
+        m = synthetic_mano_model()
+        p, _ = make_opt_inputs(m, batch=1, seed=1)
+        rv, lv, _, _ = forward(m, p)
+        grid, c, h = build_penetration_grid(lv[0], m.faces[:, ::-1])
+        far = c[None, :] + jnp.asarray([[10.0, 10.0, 10.0]]) * h
+        assert float(trilinear_sample(grid, c, h, far)[0]) == 0.0
