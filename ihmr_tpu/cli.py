@@ -35,6 +35,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--checkpoints_dir", default="./checkpoints")
     p.add_argument("--strategy", default="opt_default")
     p.add_argument("--main_encoder", default="resnet50")
+    p.add_argument("--bf16", action="store_true",
+                   help="backbone convs/fc compute in bfloat16 on the MXU "
+                        "(fp32 params, fp32 BatchNorm, fp32 losses/heads) — "
+                        "~2x baseline training throughput; see BASELINE.md")
     p.add_argument("--synthetic_mano", action="store_true", help="use synthetic MANO assets (no licensed files)")
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
@@ -52,6 +56,12 @@ def _load_mano(args):
     pair = load_mano_pair(args.model_root)
     (right, right_mean), (left, left_mean) = pair["right"], pair["left"]
     return right, left, jnp.asarray(right_mean), jnp.asarray(left_mean)
+
+
+def _dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
 
 
 def _mean_params(args):
@@ -122,7 +132,7 @@ def cmd_train_baseline(args):
         use_hand_rotation=args.use_hand_rotation,
         sdf_robustifier=args.sdf_robustifier,
     )
-    encoder = InterHandEncoder(arch=args.main_encoder)
+    encoder = InterHandEncoder(arch=args.main_encoder, dtype=_dtype(args))
     state = create_state(
         encoder, _mean_params(args), train_config, jax.random.PRNGKey(0), args.inputSize
     )
@@ -179,7 +189,7 @@ def cmd_serve(args):
     from ihmr_tpu.train import checkpoint as ckpt
 
     mano_right, _, _, _ = _load_mano(args)
-    encoder = InterHandEncoder(arch=args.main_encoder)
+    encoder = InterHandEncoder(arch=args.main_encoder, dtype=_dtype(args))
     state = create_state(
         encoder, _mean_params(args), TrainConfig(), jax.random.PRNGKey(0), args.inputSize
     )
@@ -248,7 +258,7 @@ def cmd_test_baseline(args):
     loader = BatchLoader(dataset, args.batchSize, rank=args.rank, world_size=args.world_size)
     mano_right, mano_left, _, _ = _load_mano(args)
     config = TrainConfig()
-    encoder = InterHandEncoder(arch=args.main_encoder)
+    encoder = InterHandEncoder(arch=args.main_encoder, dtype=_dtype(args))
     state = create_state(encoder, _mean_params(args), config, jax.random.PRNGKey(0), args.inputSize)
     params = ckpt.load_network(args.checkpoints_dir, "baseline", args.test_epoch)
     assert params is not None, f"no checkpoint '{args.test_epoch}' in {args.checkpoints_dir}"

@@ -26,17 +26,18 @@ class BasicBlock(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     expansion: int = 1
     norm: ModuleDef = None
+    conv: ModuleDef = nn.Conv
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+        y = self.conv(self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+        y = self.conv(self.filters, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(
+            residual = self.conv(
                 self.filters, (1, 1), self.strides, use_bias=False, name="downsample_conv"
             )(x)
             residual = self.norm(name="downsample_bn")(residual)
@@ -48,20 +49,21 @@ class Bottleneck(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     expansion: int = 4
     norm: ModuleDef = None
+    conv: ModuleDef = nn.Conv
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
+        y = self.conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+        y = self.conv(self.filters, (3, 3), self.strides, padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
+        y = self.conv(self.filters * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
         y = self.norm(name="bn3")(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(
+            residual = self.conv(
                 self.filters * self.expansion, (1, 1), self.strides, use_bias=False, name="downsample_conv"
             )(x)
             residual = self.norm(name="downsample_bn")(residual)
@@ -78,15 +80,21 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # x: (B, H, W, 3) NHWC
+        # x: (B, H, W, 3) NHWC. Mixed precision (dtype=bfloat16): convs and
+        # fc1 COMPUTE in bf16 on the MXU with fp32 parameters (flax
+        # param_dtype default); BatchNorm is pinned to fp32 — batch
+        # statistics and the affine transform are where bf16 loses accuracy,
+        # and BN is a tiny fraction of the FLOPs. The 1024-d feature is
+        # returned in fp32 either way.
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=jnp.float32,
         )
-        x = nn.Conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
+        conv = partial(nn.Conv, dtype=self.dtype)
+        x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -94,12 +102,13 @@ class ResNet(nn.Module):
             for j in range(num_blocks):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
                 x = self.block(
-                    filters=64 * 2**i, strides=strides, norm=norm, name=f"layer{i + 1}_{j}"
+                    filters=64 * 2**i, strides=strides, norm=norm, conv=conv,
+                    name=f"layer{i + 1}_{j}"
                 )(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = nn.relu(x)
-        x = nn.Dense(self.feature_dim, name="fc1")(x)
-        return nn.relu(x)
+        x = nn.Dense(self.feature_dim, dtype=self.dtype, name="fc1")(x)
+        return nn.relu(x.astype(jnp.float32))
 
 
 resnet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), block=BasicBlock)

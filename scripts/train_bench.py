@@ -41,7 +41,7 @@ def log(*a):
     print(*a, flush=True)
 
 
-def bench_baseline_train(use_collision: bool):
+def bench_baseline_train(use_collision: bool, bf16: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,7 +55,11 @@ def bench_baseline_train(use_collision: bool):
     dev = jax.devices()[0]
     mano_right = synthetic_mano_model()
     mano_left = mirror_mano_model(mano_right)
-    encoder = InterHandEncoder(arch="resnet50")
+    import jax.numpy as _jnp
+
+    encoder = InterHandEncoder(
+        arch="resnet50", dtype=_jnp.bfloat16 if bf16 else _jnp.float32
+    )
     config = TrainConfig(lr=1e-4, use_collision_loss=use_collision)
 
     with jax.default_device(jax.devices("cpu")[0]):
@@ -81,30 +85,45 @@ def bench_baseline_train(use_collision: bool):
     mano_right = jax.device_put(mano_right, dev)
     mano_left = jax.device_put(mano_left, dev)
 
-    t0 = time.perf_counter()
-    state, metrics = train_step(encoder, state, batch, mano_right, mano_left, config)
-    jax.block_until_ready(metrics["total_loss"])
-    log(f"  compile+first step: {time.perf_counter() - t0:.1f}s")
+    # Timing harness: STEPS chained steps inside ONE jitted lax.scan — a
+    # single device dispatch covers the whole window. Per-call python
+    # dispatch over the tunneled TPU measured wildly unstable (3-53 ms/step
+    # for the identical program depending on whether dispatches pipelined);
+    # the scan gives the honest device-side per-step time, with the final
+    # loss returned so the work provably executed.
+    @jax.jit
+    def run_window(state):
+        def body(s, _):
+            s2, m = train_step(encoder, s, batch, mano_right, mano_left, config)
+            return s2, m["total_loss"]
+        return jax.lax.scan(body, state, None, length=STEPS)
 
-    # steady state: chain STEPS donated steps, block once
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = train_step(encoder, state, batch, mano_right, mano_left, config)
-    jax.block_until_ready(metrics["total_loss"])
+    state, losses = run_window(state)
+    jax.block_until_ready(losses)
+    log(f"  compile+first window: {time.perf_counter() - t0:.1f}s "
+        f"(loss {float(losses[0]):.2f} -> {float(losses[-1]):.2f})")
+
+    t0 = time.perf_counter()
+    state, losses = run_window(state)
+    jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / STEPS
+    assert float(losses[-1]) == float(losses[-1]), "NaN loss"
 
     imgs_per_sec = BATCH / dt
     # fwd + bwd ~ 3x fwd FLOPs; 4 MANO decodes (pred+gt, L+R) are ~0.7% extra
     gflop_per_step = 3 * RESNET50_FWD_GFLOP_PER_IMG * BATCH
     tflops = gflop_per_step / dt / 1e3
     mfu = tflops * 1e12 / VENDOR_BF16_PEAK
-    tag = "collision ON " if use_collision else "collision off"
+    tag = ("collision ON " if use_collision else "collision off") + (
+        " bf16" if bf16 else " fp32"
+    )
+    path = "bf16" if bf16 else "fp32"
     log(
         f"  baseline train_step ({tag}): {dt * 1e3:7.1f} ms/step  "
         f"{imgs_per_sec:7.1f} imgs/sec  ~{tflops:.1f} TFLOP/s  "
-        f"MFU {100 * mfu:.1f}% (fp32 path vs bf16 vendor peak)"
+        f"MFU {100 * mfu:.1f}% ({path} path vs bf16 vendor peak)"
     )
-    assert float(metrics["total_loss"]) == float(metrics["total_loss"]), "NaN loss"
     return dict(ms_per_step=dt * 1e3, imgs_per_sec=imgs_per_sec, tflops=tflops, mfu=mfu)
 
 
@@ -135,15 +154,23 @@ def bench_mlp_stage_train():
     step, tx = make_stage_train_step(model, stage, subnet, OptConfig())
     opt_state = jax.device_put(tx.init(subnet_params), dev)
 
-    t0 = time.perf_counter()
-    subnet_params, opt_state, metrics = step(subnet_params, opt_state, batch, prev_params)
-    jax.block_until_ready(metrics["total_loss"])
-    log(f"  compile+first step: {time.perf_counter() - t0:.1f}s")
+    @jax.jit
+    def run_window(subnet_params, opt_state):
+        def body(carry, _):
+            sp, os_ = carry
+            sp, os_, m = step(sp, os_, batch, prev_params)
+            return (sp, os_), m["total_loss"]
+        return jax.lax.scan(body, (subnet_params, opt_state), None, length=STEPS)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        subnet_params, opt_state, metrics = step(subnet_params, opt_state, batch, prev_params)
-    jax.block_until_ready(metrics["total_loss"])
+    (subnet_params, opt_state), losses = run_window(subnet_params, opt_state)
+    jax.block_until_ready(losses)
+    log(f"  compile+first window: {time.perf_counter() - t0:.1f}s "
+        f"(loss {float(losses[0]):.3f} -> {float(losses[-1]):.3f})")
+
+    t0 = time.perf_counter()
+    (subnet_params, opt_state), losses = run_window(subnet_params, opt_state)
+    jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / STEPS
 
     sps = MLP_BATCH / dt
@@ -165,13 +192,15 @@ def main():
 
     log("baseline encoder training:")
     off = bench_baseline_train(use_collision=False)
+    bf16 = bench_baseline_train(use_collision=False, bf16=True)
     on = bench_baseline_train(use_collision=True)
     log("MLP stage training:")
     mlp = bench_mlp_stage_train()
 
     import json
 
-    log(json.dumps({"baseline_no_coll": off, "baseline_coll": on, "mlp_stage": mlp}))
+    log(json.dumps({"baseline_no_coll": off, "baseline_no_coll_bf16": bf16,
+                    "baseline_coll": on, "mlp_stage": mlp}))
 
 
 if __name__ == "__main__":

@@ -162,3 +162,42 @@ class TestCheckpoint:
         # and the network still runs
         out = net.apply({"params": params, "batch_stats": stats}, jnp.zeros((1, 64, 64, 3)))
         assert out.shape == (1, 1024)
+
+
+class TestBF16Training:
+    """Mixed-precision backbone (convs/fc1 compute in bfloat16 with fp32
+    params; BatchNorm and all heads/losses pinned fp32)."""
+
+    def test_bf16_forward_close_to_fp32(self, setup):
+        encoder, config, state, batch, mr, ml = setup
+        enc16 = InterHandEncoder(arch="resnet18", dtype=jnp.bfloat16)
+        # identical fp32 params drive both precisions
+        p16, ht16 = enc16.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.img, state.mean_params,
+        )
+        p32, ht32 = encoder.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch.img, state.mean_params,
+        )
+        assert p16.dtype == jnp.float32  # head stays fp32
+        scale = float(np.abs(np.asarray(p32)).max())
+        np.testing.assert_allclose(
+            np.asarray(p16), np.asarray(p32), atol=0.02 * max(scale, 1.0)
+        )
+        np.testing.assert_allclose(np.asarray(ht16), np.asarray(ht32), atol=0.03)
+
+    def test_bf16_train_loss_decreases(self, setup):
+        _, config, _, batch, mr, ml = setup
+        enc16 = InterHandEncoder(arch="resnet18", dtype=jnp.bfloat16)
+        state = create_state(enc16, build_mean_params(np.zeros(48), np.zeros(10)),
+                             config, jax.random.PRNGKey(0), input_size=64)
+        first = None
+        for _ in range(8):
+            state, metrics = train_step(enc16, state, batch, mr, ml, config)
+            if first is None:
+                first = float(metrics["total_loss"])
+        # fp32 params throughout (the master weights)
+        assert state.params["main_encoder"]["conv1"]["kernel"].dtype == jnp.float32
+        assert float(metrics["total_loss"]) < first
+        assert np.isfinite(float(metrics["total_loss"]))
