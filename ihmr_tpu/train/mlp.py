@@ -69,7 +69,9 @@ def make_stage_train_step(model: ManoModel, stage: Stage, subnet: SubNetwork, co
             p = apply_stage_mlp(
                 lambda v, x: subnet.apply(v, x), sp, stage, batch.img_feat, prev_params
             )
-            total, aux = compute_losses(model, p, batch, weights, config)
+            # gradient pass: fast in-loop collision (warm/select passes stay
+            # exact — see mlp_engine.compute_losses)
+            total, aux = compute_losses(model, p, batch, weights, config, in_loop=True)
             return total, aux
 
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(subnet_params)

@@ -194,3 +194,52 @@ class TestCaches:
         assert a.exists[[1, 2, 3, 4]].all()
         feat, _, _ = a.retrieve(np.asarray([1]))
         np.testing.assert_allclose(feat[0], np.asarray(batch.img_feat)[0])
+
+
+class TestInLoopFastCollision:
+    """The stage-training GRADIENT pass uses the fast nearest-centroid
+    collision backend (OPT's in-loop/metrics split); warm/select passes and
+    any opted-out config keep the exact backend."""
+
+    def test_opt_out_is_bitwise_exact(self, model, batch):
+        """loop_collision_fast=False: in_loop=True must equal in_loop=False."""
+        cfg = OptConfig(num_candidates=4, loop_collision_fast=False)
+        p = seed_from_backbone(batch)
+        w = dict(MLP_DEFAULT_LOSS_WEIGHTS)
+        t0, a0 = mlp_engine.compute_losses(model, p, batch, w, cfg, in_loop=False)
+        t1, a1 = mlp_engine.compute_losses(model, p, batch, w, cfg, in_loop=True)
+        assert float(t0) == float(t1)
+        np.testing.assert_array_equal(
+            np.asarray(a0["collision_loss_batch"]), np.asarray(a1["collision_loss_batch"])
+        )
+
+    def test_fast_in_loop_close_to_exact(self, model, batch):
+        """The in-loop approximation tracks the exact collision loss closely
+        at MLP operating conditions (backbone-seeded params)."""
+        cfg = OptConfig(num_candidates=4)
+        p = seed_from_backbone(batch)
+        w = dict(MLP_DEFAULT_LOSS_WEIGHTS)
+        _, exact = mlp_engine.compute_losses(model, p, batch, w, cfg, in_loop=False)
+        _, fast = mlp_engine.compute_losses(model, p, batch, w, cfg, in_loop=True)
+        e = float(exact["collision_loss"])
+        f = float(fast["collision_loss"])
+        assert np.isfinite(f)
+        # nearest-centroid upper-bounds the exact depth; a few percent apart
+        assert abs(f - e) <= 0.1 * max(e, 1e-3) + 1e-4
+
+    def test_stage_train_step_uses_fast_and_trains(self, model, batch):
+        from ihmr_tpu.train.mlp import make_stage_train_step
+
+        stage = mlp_default[3]
+        subnet = SubNetwork(update_dim=stage.update_dim)
+        sp = subnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024 + 122)))
+        step, tx = make_stage_train_step(model, stage, subnet, OptConfig(num_candidates=4))
+        opt_state = tx.init(sp)
+        prev = {k: jnp.asarray(v) for k, v in seed_from_backbone(batch).items()}
+        first = None
+        for _ in range(6):
+            sp, opt_state, m = step(sp, opt_state, batch, prev)
+            if first is None:
+                first = float(m["total_loss"])
+        assert np.isfinite(float(m["total_loss"]))
+        assert float(m["total_loss"]) < first
