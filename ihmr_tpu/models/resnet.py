@@ -80,18 +80,21 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # x: (B, H, W, 3) NHWC. Mixed precision (dtype=bfloat16): convs and
-        # fc1 COMPUTE in bf16 on the MXU with fp32 parameters (flax
-        # param_dtype default); BatchNorm is pinned to fp32 — batch
-        # statistics and the affine transform are where bf16 loses accuracy,
-        # and BN is a tiny fraction of the FLOPs. The 1024-d feature is
-        # returned in fp32 either way.
+        # x: (B, H, W, 3) NHWC. Mixed precision (dtype=bfloat16): convs,
+        # BatchNorm output, and fc1 COMPUTE in bf16 with fp32 parameters
+        # (flax param_dtype default = master weights). BatchNorm's batch
+        # STATISTICS are always accumulated in fp32 regardless of dtype
+        # (flax _compute_stats force_float32_reductions) — pinning the BN
+        # OUTPUT to fp32 as well was measured 10% slower (bf16<->fp32
+        # convert+reduce fusions at every conv/BN boundary dominated the
+        # round-3 trace, scripts/trace_train.py) for no accuracy gain. The
+        # 1024-d feature is returned in fp32 either way.
         norm = partial(
             nn.BatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
         )
         conv = partial(nn.Conv, dtype=self.dtype)
         x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
