@@ -309,6 +309,7 @@ def cmd_optimize(args):
         loop_collision_freeze_positions=not args.loop_collision_track_positions,
         loop_collision_fast=not grid,
         collision_backend="grid" if grid else "auto",
+        stage_hoist_decode=not args.no_stage_hoist,
     )
     strategy = strategies[args.strategy]
     if args.stage_epochs is not None:
@@ -491,6 +492,10 @@ def main(argv=None):
                         "step instead of once per snapshot block (2.1x "
                         "slower; the default frozen-positions path is "
                         "quality-gated by the 16-seed paired study)")
+    p.add_argument("--no_stage_hoist", action="store_true",
+                   help="disable per-stage decode hoisting (the exact "
+                        "partial evaluation of frozen parameter groups; "
+                        "falls back to the scanned masked-Adam engine)")
     p.add_argument("--loop_collision_backend", choices=["fast", "grid"],
                    default="fast",
                    help="'fast' = nearest-face (shipping default); 'grid' = "

@@ -4,5 +4,7 @@ from ihmr_tpu.mano.layer import (  # noqa: F401
     mano_decode,
     two_hand_decode_mirrored,
     two_hand_decode,
+    two_hand_decode_from_identity,
+    two_hand_identity_orient_payload,
     HandParams,
 )

@@ -196,6 +196,17 @@ def two_hand_decode_mirrored(
     betas = jnp.concatenate([right_shape, left_shape], axis=0)
 
     verts, lbs_j = mano_decode(right_model, orient, pose, betas, hands_mean)
+    return _mirror_and_anchor(verts, lbs_j, trans, B)
+
+
+def _mirror_and_anchor(
+    verts: jnp.ndarray,  # (2B, 778, 3) right-model decode, [right | flipped-left]
+    lbs_j: jnp.ndarray,  # (2B, 16, 3)
+    trans: jnp.ndarray,  # (B, 3)
+    B: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared tail of the mirrored two-hand decode: mirror the left half and
+    anchor its wrist to the right wrist + predicted translation."""
     joints = joints21(verts, lbs_j)
 
     right_verts, left_verts = verts[:B], verts[B:]
@@ -209,6 +220,57 @@ def two_hand_decode_mirrored(
     left_verts = left_verts + shift
     left_joints = left_joints + shift
     return right_verts, left_verts, jnp.concatenate([right_joints, left_joints], axis=1)
+
+
+def two_hand_identity_orient_payload(
+    right_model: ManoModel,
+    right_pose: jnp.ndarray,  # (B, 45)
+    left_pose: jnp.ndarray,  # (B, 45)
+    right_shape: jnp.ndarray,  # (B, 10)
+    left_shape: jnp.ndarray,  # (B, 10)
+    hands_mean: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode both hands at IDENTITY global orient -> (verts_id (2B,778,3),
+    lbs_j_id (2B,16,3)).
+
+    Global orient enters MANO LBS as a left-multiplication of every joint's
+    global transform by a rotation about the rest root joint: the pose
+    blendshapes exclude the root (``rots[:, 1:]``), the FK recursion gives
+    ``glob_rot'[k] = R0 @ glob_rot_id[k]`` and ``glob_pos'[k] = j0 + R0 @
+    (glob_pos_id[k] - j0)``, and skinning is linear in those transforms (with
+    per-vertex weights summing to 1). Hence for ANY orient R0:
+
+        verts(R0) = R0 @ (verts_id - j0) + j0,   j0 = lbs_j_id[:, 0]
+
+    exactly — which lets orient-only refinement stages hoist the full decode
+    out of the optimizer step (``two_hand_decode_from_identity``)."""
+    pose = jnp.concatenate([right_pose, flip_hand_pose(left_pose)], axis=0)
+    betas = jnp.concatenate([right_shape, left_shape], axis=0)
+    zero_orient = jnp.zeros((pose.shape[0], 3), pose.dtype)
+    return mano_decode(right_model, zero_orient, pose, betas, hands_mean)
+
+
+def two_hand_decode_from_identity(
+    verts_id: jnp.ndarray,  # (2B, 778, 3)
+    lbs_j_id: jnp.ndarray,  # (2B, 16, 3)
+    right_orient: jnp.ndarray,  # (B, 3)
+    left_orient: jnp.ndarray,  # (B, 3)
+    trans: jnp.ndarray,  # (B, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Apply global orients to an identity-orient payload; exact (see
+    ``two_hand_identity_orient_payload``). Returns the same triple as
+    ``two_hand_decode_mirrored``."""
+    B = right_orient.shape[0]
+    orient = jnp.concatenate([right_orient, flip_hand_pose(left_orient)], axis=0)
+    R0 = axis_angle_to_matrix(orient.astype(verts_id.dtype))  # (2B, 3, 3)
+    pivot = lbs_j_id[:, 0:1]  # rest root joint — the FK rotation pivot
+    verts = (
+        jnp.einsum("bij,bvj->bvi", R0, verts_id - pivot, precision=_PREC) + pivot
+    )
+    lbs_j = (
+        jnp.einsum("bij,bnj->bni", R0, lbs_j_id - pivot, precision=_PREC) + pivot
+    )
+    return _mirror_and_anchor(verts, lbs_j, trans, B)
 
 
 def two_hand_decode(

@@ -38,7 +38,12 @@ import optax
 
 from ihmr_tpu.core.projection import orthographic_project
 from ihmr_tpu.losses import losses as L
-from ihmr_tpu.mano.layer import HandParams, two_hand_decode_mirrored
+from ihmr_tpu.mano.layer import (
+    HandParams,
+    two_hand_decode_from_identity,
+    two_hand_decode_mirrored,
+    two_hand_identity_orient_payload,
+)
 from ihmr_tpu.mano.model import ManoModel
 from ihmr_tpu.ops.collision import (
     collision_loss,
@@ -184,6 +189,28 @@ class OptConfig:
         motion) and trilinearly samples live queries per step."""
         return (not self.loop_collision_fast) and self.collision_backend == "grid"
 
+    # Engine option (DEFAULT ON since round 3): python-unroll the stage loop
+    # (static per-stage masks/lr/weights instead of one scanned stage body)
+    # and, for stages whose FROZEN parameter groups allow it, hoist the MANO
+    # decode out of the optimizer-step scan entirely — MATHEMATICALLY EXACT
+    # partial evaluation, not an approximation:
+    #   * trans/cam-only stages (opt_default stage 1; the opt_with_cam cam
+    #     stage): orient/pose/shape frozen => both meshes are rigid; trans
+    #     enters the mirrored decode purely additively on the left hand
+    #     (layer.py::_mirror_and_anchor), so the step touches no decode at
+    #     all — verts/joints are payload constants plus trans.
+    #   * orient stages (opt_default stage 2): pose/shape frozen => the
+    #     decode at identity orient is constant and verts(R0) = R0 @
+    #     (verts_id - root) + root exactly (two_hand_identity_orient_payload
+    #     proof) — the step replaces the full decode fwd+bwd with one
+    #     3x3-rotation apply.
+    #   * pose/shape stages: no exact hoist; the generic decode runs.
+    # The trade: one compiled program per stage instead of one shared scanned
+    # body (more compile time, mitigated by the persistent compilation
+    # cache). Equivalence vs the scan engine is asserted by
+    # tests/test_opt_engine.py::TestStageHoist.
+    stage_hoist_decode: bool = flax.struct.field(pytree_node=False, default=True)
+
 
 ParamDict = Dict[str, jnp.ndarray]
 
@@ -250,6 +277,7 @@ def compute_losses(
     coll_parity: Optional[jnp.ndarray] = None,
     coll_tris: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     coll_grid=None,
+    fwd_fn=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """All OPT losses (ref optimize_model.py:276-330).
 
@@ -257,8 +285,14 @@ def compute_losses(
     used by snapshot filtering/selection ('joints_2d_loss_p', and weighted
     'joints_3d_loss_p' batches; 'collision_loss' batch is unweighted exactly
     like the reference) plus scalar logging losses.
+
+    ``fwd_fn`` (params -> (rv, lv, joints3d, joints2d)) substitutes a
+    stage-specialized exact forward (OptConfig.stage_hoist_decode); default
+    is the full decode.
     """
-    rv, lv, joints3d, joints2d = forward(model, p)
+    rv, lv, joints3d, joints2d = (
+        fwd_fn(p) if fwd_fn is not None else forward(model, p)
+    )
     faces_l = model.faces[:, ::-1]  # mirrored-left winding
 
     aux: Dict[str, jnp.ndarray] = {}
@@ -536,7 +570,8 @@ def _stack_stage_constants(strategy: Tuple[Stage, ...]):
 
 
 def _lazy_coll_payload(
-    model: ManoModel, p: ParamDict, config: OptConfig, parities, mode: str
+    model: ManoModel, p: ParamDict, config: OptConfig, parities, mode: str,
+    fwd_fn=None,
 ):
     """Per-block collision payload at the CURRENT params, matching
     compute_losses' in-loop query subsetting: one entry per parity in
@@ -548,7 +583,7 @@ def _lazy_coll_payload(
     (OptConfig.loop_collision_freeze_positions). mode='grid': the
     reference-mechanism per-hand phi grids (query-independent — ONE entry
     regardless of parities; OptConfig.grid_in_loop)."""
-    rv, lv, _, _ = forward(model, p)
+    rv, lv, _, _ = fwd_fn(p) if fwd_fn is not None else forward(model, p)
     if mode == "grid":
         from ihmr_tpu.ops.grid_sdf import pair_grids
 
@@ -714,6 +749,213 @@ def run_all_stages_fused(
     return params
 
 
+def _make_stage_forward(model: ManoModel, stage: Stage, params_entry: ParamDict):
+    """Stage-specialized EXACT forward, or None when no hoist applies.
+
+    Partial evaluation of ``forward`` against the stage's frozen parameter
+    groups (OptConfig.stage_hoist_decode). ``params_entry`` are the params
+    ENTERING the stage; frozen groups provably do not change during the
+    stage (their gradients are zero — masked in the fused engine, absent
+    from the differentiated subset here — and the Adam moments start at
+    zero, so every frozen update is exactly 0)."""
+    up = set(stage.update_params)
+    pe = params_entry
+    if up <= {"trans", "cam"}:
+        # every group that shapes either mesh is frozen: decode ONCE at
+        # trans=0; trans enters the mirrored two-hand composition purely
+        # additively on the left half (layer.py::_mirror_and_anchor), and
+        # cam only through the projection
+        zero_trans = jnp.zeros_like(pe["trans"])
+        rv0, lv0, j0 = two_hand_decode_mirrored(
+            model,
+            pe["right_orient"],
+            pe["left_orient"],
+            pe["right_pose"],
+            pe["left_pose"],
+            pe["right_shape"],
+            pe["left_shape"],
+            zero_trans,
+        )
+
+        def fwd(p):
+            t = p["trans"][:, None, :]
+            joints = jnp.concatenate([j0[:, :21], j0[:, 21:] + t], axis=1)
+            return rv0, lv0 + t, joints, orthographic_project(joints, p["cam"])
+
+        return fwd
+    if up <= {"right_orient", "left_orient", "trans", "cam"}:
+        # pose/shape frozen: hoist the identity-orient decode; the step
+        # applies one rotation about the rest root per hand (exact — see
+        # two_hand_identity_orient_payload)
+        verts_id, lbsj_id = two_hand_identity_orient_payload(
+            model,
+            pe["right_pose"],
+            pe["left_pose"],
+            pe["right_shape"],
+            pe["left_shape"],
+        )
+
+        def fwd(p):
+            rv, lv, joints = two_hand_decode_from_identity(
+                verts_id, lbsj_id, p["right_orient"], p["left_orient"], p["trans"]
+            )
+            return rv, lv, joints, orthographic_project(joints, p["cam"])
+
+        return fwd
+    return None
+
+
+def run_all_stages_hoisted(
+    model: ManoModel,
+    params: ParamDict,
+    batch: OptBatch,
+    strategy: Tuple[Stage, ...],
+    config: OptConfig,
+) -> ParamDict:
+    """Python-unrolled stage loop with per-stage STATIC constants and
+    stage-specialized exact forwards (OptConfig.stage_hoist_decode).
+
+    Same semantics as run_all_stages_fused / run_stage (same snapshot
+    filter/select, same fresh-moment Adam); the difference is per-step
+    decode WORK: in opt_default, stages 1 (trans) and 2 (orients) run with
+    the full MANO decode hoisted out of the step scan — the dominant
+    per-step cost (decode fwd+bwd, docs/PERFORMANCE.md) drops to an add /
+    one rotation apply for half the schedule. Unlike the scanned engine,
+    per-stage step counts and filter sets may differ (opt_with_cam's 100-step
+    cam stage runs here too)."""
+    for stage in strategy:
+        params = _run_one_stage_hoisted(model, params, batch, stage, config)
+    return params
+
+
+def _run_one_stage_hoisted(
+    model: ManoModel,
+    params: ParamDict,
+    batch: OptBatch,
+    stage: Stage,
+    config: OptConfig,
+) -> ParamDict:
+    assert config.optimizer == "adam"
+    w = stage.weights  # static python floats (enables the weight-0 skip)
+    filter_names = [name for name, _pct in stage.filter_loss]
+    bars_pct = jnp.asarray(
+        [(float(pct) + 0.1) / 100.0 for _n, pct in stage.filter_loss], jnp.float32
+    )
+    select_key = _FILTER_KEYS[stage.select_loss]
+    B = batch.hand_type_array.shape[0]
+
+    alternate = (
+        config.loop_collision_alternate and config.loop_collision_subsample == 2
+    )
+    coll_zero = float(w["collision_loss_weight"]) == 0.0
+    grid_mode = config.grid_in_loop()
+    payload_mode = "grid" if grid_mode else (
+        "tris" if config.loop_collision_freeze_positions else "idx"
+    )
+
+    fwd_fn = (
+        _make_stage_forward(model, stage, params)
+        if config.stage_hoist_decode
+        else None
+    )
+
+    subset = {k: params[k] for k in stage.update_params}
+    frozen = {k: v for k, v in params.items() if k not in stage.update_params}
+
+    def grad_fn(sub, payload=None, parity=None):
+        kw = {"coll_" + payload_mode: payload}
+        return jax.value_and_grad(
+            lambda s: compute_losses(
+                model, {**frozen, **s}, batch, w, config,
+                in_loop=True, coll_parity=parity, fwd_fn=fwd_fn, **kw,
+            ),
+            has_aux=True,
+        )(sub)
+
+    lr = stage.lr
+    m = _tree_zeros(subset)
+    v = _tree_zeros(subset)
+
+    def make_step(payload_set):
+        def step(carry, j):
+            subset, m, v, best, best_select, bars = carry
+            parity = (j % 2) if alternate else None
+            if payload_set is None:
+                payload = None
+            elif alternate and len(payload_set) == 2:
+                even = (j % 2) == 0
+                payload = jax.tree_util.tree_map(
+                    lambda e, o: jnp.where(even, e, o),
+                    payload_set[0],
+                    payload_set[1],
+                )
+            else:
+                payload = payload_set[0]
+            (_, aux), grads = grad_fn(subset, payload, parity)
+
+            cur = jnp.stack([aux[_FILTER_KEYS[n]] for n in filter_names], 0)  # (NF, B)
+            cur_select = aux[select_key]
+            is_first = j == 0
+            bars = jnp.where(is_first, cur * (1.0 + bars_pct[:, None]), bars)
+            is_snapshot = (j % config.save_mid_freq) == 0
+            valid = jnp.all(cur <= bars, axis=0)
+            improve = is_first | (is_snapshot & valid & (cur_select < best_select))
+            best_select = jnp.where(improve, cur_select, best_select)
+            best = {k: jnp.where(improve[:, None], subset[k], best[k]) for k in subset}
+
+            t = (j + 1).astype(jnp.float32)
+            m = {k: _ADAM_B1 * m[k] + (1 - _ADAM_B1) * grads[k] for k in m}
+            v = {k: _ADAM_B2 * v[k] + (1 - _ADAM_B2) * grads[k] ** 2 for k in v}
+            c1 = 1.0 - _ADAM_B1**t
+            c2 = 1.0 - _ADAM_B2**t
+            subset = {
+                k: subset[k] - lr * (m[k] / c1) / (jnp.sqrt(v[k] / c2) + _ADAM_EPS)
+                for k in subset
+            }
+            return (subset, m, v, best, best_select, bars), None
+
+        return step
+
+    carry = (
+        subset,
+        m,
+        v,
+        subset,
+        jnp.full((B,), jnp.inf, jnp.float32),
+        jnp.zeros((len(filter_names), B), jnp.float32),
+    )
+    steps = stage.epoch + 1
+    parities = (jnp.int32(0), jnp.int32(1)) if alternate else (None,)
+    blocked = (not coll_zero) and (config.lazy_active() or grid_mode)
+    if not blocked:
+        carry, _ = jax.lax.scan(make_step(None), carry, jnp.arange(steps))
+    else:
+        freq = config.save_mid_freq
+        nblocks, tail = divmod(steps, freq)
+
+        def payload_at(sub):
+            return _lazy_coll_payload(
+                model, {**frozen, **sub}, config, parities, payload_mode,
+                fwd_fn=fwd_fn,
+            )
+
+        def block(carry, b):
+            payload_set = payload_at(carry[0])
+            carry, _ = jax.lax.scan(
+                make_step(payload_set), carry, b * freq + jnp.arange(freq)
+            )
+            return carry, None
+
+        if nblocks:
+            carry, _ = jax.lax.scan(block, carry, jnp.arange(nblocks))
+        if tail:
+            payload_set = payload_at(carry[0])
+            carry, _ = jax.lax.scan(
+                make_step(payload_set), carry, nblocks * freq + jnp.arange(tail)
+            )
+    return {**frozen, **carry[3]}
+
+
 @partial(jax.jit, static_argnames=("strategy", "config"))
 def optimize_batch(
     model: ManoModel,
@@ -728,11 +970,16 @@ def optimize_batch(
     Returns (refined params, results dict with verts/joints/losses matching
     ``get_pred_result``; ref optimize_model.py:418-435).
 
-    Uses the fused single-compile engine when the strategy allows (uniform
-    step counts/filters, adam), else falls back to per-stage programs.
+    Engine selection: the python-unrolled HOISTED engine (per-stage static
+    constants + stage-specialized exact forwards; the shipping default) when
+    config.stage_hoist_decode and adam; else the fused single-compile scan
+    engine when the strategy allows (uniform step counts/filters, adam);
+    else per-stage programs.
     """
     params = params_init
-    if _strategy_is_fusable(strategy) and config.optimizer == "adam":
+    if config.optimizer == "adam" and config.stage_hoist_decode:
+        params = run_all_stages_hoisted(model, params, batch, strategy, config)
+    elif _strategy_is_fusable(strategy) and config.optimizer == "adam":
         params = run_all_stages_fused(model, params, batch, strategy, config)
     else:
         for stage in strategy:

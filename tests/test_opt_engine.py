@@ -444,3 +444,143 @@ class TestFrozenPositions:
         j_f = float(np.mean(np.asarray(res_frz["joints_3d_loss"])))
         j_s = float(np.mean(np.asarray(res_sel["joints_3d_loss"])))
         np.testing.assert_allclose(j_f, j_s, rtol=0.05)
+
+
+class TestStageHoist:
+    """OptConfig.stage_hoist_decode: stage-specialized EXACT forwards + the
+    python-unrolled engine (round 3)."""
+
+    def test_trans_stage_forward_exact(self, model, inputs):
+        """The trans/cam-only specialized forward must equal the generic
+        decode for ANY trans/cam — including values far from the entry
+        params the payload was built at."""
+        from ihmr_tpu.refine.opt_engine import _make_stage_forward, forward
+
+        params, _ = inputs
+        fwd = _make_stage_forward(model, opt_default[0], params)
+        assert fwd is not None
+        rng = np.random.RandomState(3)
+        p2 = dict(params)
+        p2["trans"] = params["trans"] + jnp.asarray(
+            rng.randn(*params["trans"].shape).astype(np.float32) * 0.05
+        )
+        p2["cam"] = params["cam"] * 1.1
+        want = forward(model, p2)
+        got = fwd(p2)
+        for g, w, name in zip(got, want, ("rv", "lv", "j3d", "j2d")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-6, err_msg=name
+            )
+
+    def test_orient_stage_forward_exact(self, model, inputs):
+        """verts(R0) = R0 @ (verts_id - root) + root: the identity-orient
+        payload forward must equal the generic decode at arbitrary (large)
+        global orients — exactness of the rotation-about-root hoist."""
+        from ihmr_tpu.refine.opt_engine import _make_stage_forward, forward
+
+        params, _ = inputs
+        fwd = _make_stage_forward(model, opt_default[1], params)
+        assert fwd is not None
+        rng = np.random.RandomState(4)
+        p2 = dict(params)
+        for k in ("right_orient", "left_orient"):
+            p2[k] = params[k] + jnp.asarray(
+                rng.randn(*params[k].shape).astype(np.float32)  # ~1 rad
+            )
+        p2["trans"] = params["trans"] * 0.7
+        want = forward(model, p2)
+        got = fwd(p2)
+        for g, w, name in zip(got, want, ("rv", "lv", "j3d", "j2d")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=5e-6, err_msg=name
+            )
+
+    def test_pose_stage_has_no_specialization(self, model, inputs):
+        from ihmr_tpu.refine.opt_engine import _make_stage_forward
+
+        params, _ = inputs
+        assert _make_stage_forward(model, opt_default[2], params) is None
+        assert _make_stage_forward(model, opt_default[3], params) is None
+
+    def test_hoisted_matches_fused(self, model, inputs):
+        """The unrolled+specialized engine must reproduce the scanned masked-
+        Adam engine (same config as test_fused_matches_per_stage: every-vertex
+        sampling, eager reselect — the regime where trajectories track)."""
+        from ihmr_tpu.refine.opt_engine import (
+            run_all_stages_fused,
+            run_all_stages_hoisted,
+        )
+
+        params, batch = inputs
+        strategy = _short_strategy(epochs=10)
+        cfg = OptConfig(
+            save_mid_freq=2,
+            loop_collision_subsample=1,
+            loop_collision_face_subsample=1,
+            loop_collision_lazy_reselect=False,
+        )
+        fused = run_all_stages_fused(model, params, batch, strategy, cfg)
+        hoisted = run_all_stages_hoisted(model, params, batch, strategy, cfg)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(hoisted[k]), np.asarray(fused[k]), atol=5e-5, err_msg=k
+            )
+
+    def test_hoisted_matches_fused_at_shipping_knobs_blocksize_one(
+        self, model, inputs
+    ):
+        """At save_mid_freq=1 the lazy/frozen payload rebuilds every step, so
+        the shipping fast-knob configuration admits a direct short-horizon
+        engine comparison (same reasoning as TestFrozenPositions)."""
+        from ihmr_tpu.refine.opt_engine import (
+            run_all_stages_fused,
+            run_all_stages_hoisted,
+        )
+
+        params, batch = inputs
+        strategy = _short_strategy(epochs=6)
+        cfg = OptConfig(
+            save_mid_freq=1,
+            loop_collision_subsample=2,
+            loop_collision_face_subsample=2,
+        )
+        fused = run_all_stages_fused(model, params, batch, strategy, cfg)
+        hoisted = run_all_stages_hoisted(model, params, batch, strategy, cfg)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(hoisted[k]), np.asarray(fused[k]), atol=5e-5, err_msg=k
+            )
+
+    def test_optimize_batch_default_uses_hoisted_and_refines(self, model):
+        """End-to-end smoke at the shipping default (stage_hoist_decode=True):
+        the pipeline refines toward the synthetic GT like the fused engine
+        always has (mirrors TestOptimizeBatch.test_full_pipeline_improves)."""
+        params, batch = make_opt_inputs(model, batch=2, seed=5, noise=0.15)
+        strategy = _short_strategy(epochs=20)
+        cfg = OptConfig(save_mid_freq=5)
+        out, res = optimize_batch(model, params, batch, strategy, cfg)
+        _, aux0 = compute_losses(
+            model, params, batch, dict(opt_default[1].loss_weights), cfg
+        )
+        _, aux1 = compute_losses(
+            model, out, batch, dict(opt_default[1].loss_weights), cfg
+        )
+        assert float(aux1["joints_3d_loss"]) < float(aux0["joints_3d_loss"])
+        for k in out:
+            assert np.isfinite(np.asarray(out[k])).all(), k
+
+    def test_opt_with_cam_runs_hoisted(self, model, inputs):
+        """The non-uniform opt_with_cam strategy (100-step cam stage) is not
+        fusable but IS hoistable — the cam stage runs with the decode fully
+        hoisted."""
+        import dataclasses as dc
+
+        params, batch = inputs
+        strategy = tuple(
+            dc.replace(s, epoch=4) for s in strategies["opt_with_cam"]
+        )
+        cfg = OptConfig(save_mid_freq=2)
+        out, _ = optimize_batch(model, params, batch, strategy, cfg)
+        for k in out:
+            assert np.isfinite(np.asarray(out[k])).all(), k
+        assert not np.allclose(np.asarray(out["cam"]), np.asarray(params["cam"]))
