@@ -48,6 +48,38 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _backend_init_watchdog(timeout_s: float):
+    """Fail LOUDLY (one JSON line + exit) if backend init hangs.
+
+    The axon TPU plugin dials its tunnel inside the first backend query and
+    retries forever when the tunnel is down (observed round 3: >40 min).
+    A bench that hangs tells the driver nothing; a bench that prints an
+    explicit error line does. The timer is cancelled the moment
+    jax.devices() returns."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "hands/sec (infer + OPT refine, batch %d, 1 chip)" % BATCH,
+                    "value": 0.0,
+                    "unit": "hands/sec",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                             "(axon tunnel unreachable?)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
 
@@ -63,7 +95,12 @@ def main():
     from ihmr_tpu.models import InterHandEncoder, build_mean_params
     from ihmr_tpu.refine import OptConfig, opt_default, optimize_batch
 
-    log(f"devices: {jax.devices()}  batch={BATCH}")
+    watchdog = _backend_init_watchdog(
+        float(os.environ.get("IHMR_BENCH_INIT_TIMEOUT", "600"))
+    )
+    devices = jax.devices()
+    watchdog.cancel()
+    log(f"devices: {devices}  batch={BATCH}")
     mano = synthetic_mano_model()  # constructed host-side
 
     # --- encoder inference (the "infer" part); init on host CPU (eager init
