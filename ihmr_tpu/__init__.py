@@ -20,4 +20,25 @@ are single jitted scans instead of Python optimizer loops.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# The axon TPU PJRT plugin in this image ignores JAX_PLATFORMS /
+# JAX_PLATFORM_NAME and dials its tunnel during backend init regardless;
+# with the tunnel unreachable, a "CPU-forced" process (CLI smoke tests,
+# subprocess tools) hangs in the plugin's connect-retry loop instead of
+# running on CPU. Honor an explicit CPU request by mirroring it into the
+# config knob the plugin does respect, before any backend query. Only the
+# cpu case is mirrored: the ambient image env carries JAX_PLATFORMS=axon,
+# and force-pinning that would drop the cpu backend (breaking
+# jax.devices("cpu") host-staging paths) and the auto-selection fallback.
+_plat = _os.environ.get("JAX_PLATFORMS") or _os.environ.get("JAX_PLATFORM_NAME")
+if _plat and _plat.strip().lower() == "cpu":
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:  # jax absent/already initialized: never block import
+        pass
+del _os, _plat
+
 from ihmr_tpu import core, mano, ops, losses, refine, models, parallel, data, eval, train, utils  # noqa: F401
