@@ -5,6 +5,8 @@ from ihmr_tpu.mano.layer import (  # noqa: F401
     two_hand_decode_mirrored,
     two_hand_decode,
     two_hand_decode_from_identity,
+    two_hand_decode_from_shape_affine,
     two_hand_identity_orient_payload,
+    two_hand_shape_affine_payload,
     HandParams,
 )

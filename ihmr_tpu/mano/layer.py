@@ -273,6 +273,97 @@ def two_hand_decode_from_identity(
     return _mirror_and_anchor(verts, lbs_j, trans, B)
 
 
+def two_hand_shape_affine_payload(
+    right_model: ManoModel,
+    right_orient: jnp.ndarray,  # (B, 3)
+    left_orient: jnp.ndarray,  # (B, 3)
+    right_pose: jnp.ndarray,  # (B, 45)
+    left_pose: jnp.ndarray,  # (B, 45)
+    right_shape0: jnp.ndarray,  # (B, 10)
+    left_shape0: jnp.ndarray,  # (B, 10)
+    hands_mean: Optional[jnp.ndarray] = None,
+):
+    """Base + 20 directional columns of the two-hand decode as an affine
+    function of the shape coefficients, built with ONE decode at 21x batch.
+
+    EXACT, not a linearization error: with pose/orient fixed the decode is
+    affine in betas — the rotation matrices and the pose-blendshape feature
+    are betas-free, so ``v_shaped``, ``j_rest``, the FK translations (fixed
+    parent rotations times the affine ``rel_j``), the skinning output
+    (fixed ``Rv`` times affine ``v_posed`` plus affine ``tv``;
+    ``mano_decode``) and the mirror/anchor tail (``_mirror_and_anchor``,
+    at trans=0) are all compositions of affine maps. Hence
+
+        out(shape0 + d) = out(shape0) + sum_i d_i * (out(shape0+e_i) - out(shape0))
+
+    holds exactly for ANY d — which lets shape-only refinement stages hoist
+    the full decode out of the optimizer step
+    (``two_hand_decode_from_shape_affine``).
+
+    Returns (base, basis): base = (rv0, lv0, j0) evaluated at
+    (shape0, trans=0); basis = matching tuple of (20, B, ...) directional
+    deltas, ordered [right e_0..e_9 | left e_0..e_9].
+    """
+    B = right_orient.shape[0]
+    dtype = right_shape0.dtype
+    K = 21  # base + 20 unit directions
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (K,) + x.shape).reshape((K * B,) + x.shape[1:])
+
+    eye = jnp.eye(10, dtype=dtype)
+    zero = jnp.zeros((10, 10), dtype)
+    one = jnp.zeros((1, 10), dtype)
+    d_right = jnp.concatenate([one, eye, zero], axis=0)  # (21, 10)
+    d_left = jnp.concatenate([one, zero, eye], axis=0)  # (21, 10)
+    shape_r = (right_shape0[None] + d_right[:, None]).reshape(K * B, 10)
+    shape_l = (left_shape0[None] + d_left[:, None]).reshape(K * B, 10)
+
+    rv, lv, joints = two_hand_decode_mirrored(
+        right_model,
+        tile(right_orient),
+        tile(left_orient),
+        tile(right_pose),
+        tile(left_pose),
+        shape_r,
+        shape_l,
+        jnp.zeros((K * B, 3), dtype),
+        hands_mean,
+    )
+
+    def split(x):
+        x = x.reshape((K, B) + x.shape[1:])
+        return x[0], x[1:] - x[0]
+
+    (rv0, brv), (lv0, blv), (j0, bj) = split(rv), split(lv), split(joints)
+    return (rv0, lv0, j0), (brv, blv, bj)
+
+
+def two_hand_decode_from_shape_affine(
+    base,  # (rv0 (B,778,3), lv0 (B,778,3), j0 (B,42,3)) at (shape0, trans=0)
+    basis,  # ((20,B,778,3), (20,B,778,3), (20,B,42,3)) directional deltas
+    right_shape0: jnp.ndarray,  # (B, 10)
+    left_shape0: jnp.ndarray,  # (B, 10)
+    right_shape: jnp.ndarray,  # (B, 10)
+    left_shape: jnp.ndarray,  # (B, 10)
+    trans: jnp.ndarray,  # (B, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Evaluate the affine shape payload at new shapes; exact (see
+    ``two_hand_shape_affine_payload``). Returns the same triple as
+    ``two_hand_decode_mirrored``."""
+    rv0, lv0, j0 = base
+    brv, blv, bj = basis
+    d = jnp.concatenate(
+        [right_shape - right_shape0, left_shape - left_shape0], axis=-1
+    ).astype(rv0.dtype)  # (B, 20)
+    rv = rv0 + jnp.einsum("kbvc,bk->bvc", brv, d, precision=_PREC)
+    lv = lv0 + jnp.einsum("kbvc,bk->bvc", blv, d, precision=_PREC)
+    j = j0 + jnp.einsum("kbnc,bk->bnc", bj, d, precision=_PREC)
+    t = trans[:, None, :]
+    joints = jnp.concatenate([j[:, :21], j[:, 21:] + t], axis=1)
+    return rv, lv + t, joints
+
+
 def two_hand_decode(
     right_model: ManoModel,
     left_model: ManoModel,

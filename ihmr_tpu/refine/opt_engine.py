@@ -41,8 +41,10 @@ from ihmr_tpu.losses import losses as L
 from ihmr_tpu.mano.layer import (
     HandParams,
     two_hand_decode_from_identity,
+    two_hand_decode_from_shape_affine,
     two_hand_decode_mirrored,
     two_hand_identity_orient_payload,
+    two_hand_shape_affine_payload,
 )
 from ihmr_tpu.mano.model import ManoModel
 from ihmr_tpu.ops.collision import (
@@ -204,7 +206,12 @@ class OptConfig:
     #     (verts_id - root) + root exactly (two_hand_identity_orient_payload
     #     proof) — the step replaces the full decode fwd+bwd with one
     #     3x3-rotation apply.
-    #   * pose/shape stages: no exact hoist; the generic decode runs.
+    #   * shape stages (opt_default stage 4): pose/orient frozen => the
+    #     decode is exactly AFFINE in the 20 betas
+    #     (two_hand_shape_affine_payload proof) — hoist base + 20
+    #     directional columns; the step is one basis contraction.
+    #   * pose stages: no exact hoist (rotations are nonlinear in pose);
+    #     the generic decode runs.
     # The trade: one compiled program per stage instead of one shared scanned
     # body (more compile time, mitigated by the persistent compilation
     # cache). Equivalence vs the scan engine is asserted by
@@ -802,6 +809,30 @@ def _make_stage_forward(model: ManoModel, stage: Stage, params_entry: ParamDict)
             return rv, lv, joints, orthographic_project(joints, p["cam"])
 
         return fwd
+    if up <= {"right_shape", "left_shape", "trans", "cam"}:
+        # pose/orient frozen: the decode is exactly AFFINE in the 20 shape
+        # coefficients (two_hand_shape_affine_payload proof) — hoist the
+        # base + 20 directional columns (one 21x-batch decode, once per
+        # stage); the step is one (20,B,V,3)x(B,20) contraction fwd+bwd
+        base, basis = two_hand_shape_affine_payload(
+            model,
+            pe["right_orient"],
+            pe["left_orient"],
+            pe["right_pose"],
+            pe["left_pose"],
+            pe["right_shape"],
+            pe["left_shape"],
+        )
+        shape_r0, shape_l0 = pe["right_shape"], pe["left_shape"]
+
+        def fwd(p):
+            rv, lv, joints = two_hand_decode_from_shape_affine(
+                base, basis, shape_r0, shape_l0,
+                p["right_shape"], p["left_shape"], p["trans"],
+            )
+            return rv, lv, joints, orthographic_project(joints, p["cam"])
+
+        return fwd
     return None
 
 
@@ -817,12 +848,13 @@ def run_all_stages_hoisted(
 
     Same semantics as run_all_stages_fused / run_stage (same snapshot
     filter/select, same fresh-moment Adam); the difference is per-step
-    decode WORK: in opt_default, stages 1 (trans) and 2 (orients) run with
-    the full MANO decode hoisted out of the step scan — the dominant
-    per-step cost (decode fwd+bwd, docs/PERFORMANCE.md) drops to an add /
-    one rotation apply for half the schedule. Unlike the scanned engine,
-    per-stage step counts and filter sets may differ (opt_with_cam's 100-step
-    cam stage runs here too)."""
+    decode WORK: in opt_default, stages 1 (trans), 2 (orients) and 4
+    (shapes) run with the full MANO decode hoisted out of the step scan —
+    the dominant per-step cost (decode fwd+bwd, docs/PERFORMANCE.md) drops
+    to an add / one rotation apply / one affine-basis contraction for three
+    quarters of the schedule; only the pose stage keeps the generic decode.
+    Unlike the scanned engine, per-stage step counts and filter sets may
+    differ (opt_with_cam's 100-step cam stage runs here too)."""
     for stage in strategy:
         params = _run_one_stage_hoisted(model, params, batch, stage, config)
     return params

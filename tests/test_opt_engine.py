@@ -495,12 +495,37 @@ class TestStageHoist:
                 np.asarray(g), np.asarray(w), atol=5e-6, err_msg=name
             )
 
+    def test_shape_stage_forward_exact(self, model, inputs):
+        """The decode is exactly AFFINE in betas with pose/orient frozen:
+        the basis payload forward must equal the generic decode at shape
+        values FAR from the entry point (|d| ~ 1.5, way beyond any Adam
+        trajectory) — exactness of the affine hoist, not a linearization."""
+        from ihmr_tpu.refine.opt_engine import _make_stage_forward, forward
+
+        params, _ = inputs
+        fwd = _make_stage_forward(model, opt_default[3], params)
+        assert fwd is not None
+        rng = np.random.RandomState(5)
+        p2 = dict(params)
+        for k in ("right_shape", "left_shape"):
+            p2[k] = params[k] + jnp.asarray(
+                rng.randn(*params[k].shape).astype(np.float32) * 1.5
+            )
+        p2["trans"] = params["trans"] * 1.3
+        want = forward(model, p2)
+        got = fwd(p2)
+        for g, w, name in zip(got, want, ("rv", "lv", "j3d", "j2d")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-5, err_msg=name
+            )
+
     def test_pose_stage_has_no_specialization(self, model, inputs):
         from ihmr_tpu.refine.opt_engine import _make_stage_forward
 
         params, _ = inputs
         assert _make_stage_forward(model, opt_default[2], params) is None
-        assert _make_stage_forward(model, opt_default[3], params) is None
+        # the shape stage (index 3) IS specialized via the affine hoist
+        assert _make_stage_forward(model, opt_default[3], params) is not None
 
     def test_hoisted_matches_fused(self, model, inputs):
         """The unrolled+specialized engine must reproduce the scanned masked-
