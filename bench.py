@@ -42,6 +42,10 @@ REPEATS = int(os.environ.get("IHMR_BENCH_REPEATS", "3"))
 # freeze triangle POSITIONS per snapshot block (round-3 kernel-work removal;
 # OptConfig.loop_collision_freeze_positions). Default follows OptConfig.
 FREEZE = os.environ.get("IHMR_BENCH_FREEZE")
+# stage-hoisted engine (round-3 exact per-stage decode specialization;
+# OptConfig.stage_hoist_decode). Default follows OptConfig; set
+# IHMR_BENCH_HOIST=0 to A/B against the fused scan engine.
+HOIST = os.environ.get("IHMR_BENCH_HOIST")
 
 
 def log(*args):
@@ -125,6 +129,8 @@ def main():
     kw = {}
     if FREEZE is not None:
         kw["loop_collision_freeze_positions"] = FREEZE == "1"
+    if HOIST is not None:
+        kw["stage_hoist_decode"] = HOIST == "1"
     config = OptConfig(save_mid_freq=10, loop_collision_subsample=SUBSAMPLE, **kw)
 
     # the whole pipeline — encoder inference + full refinement — is ONE
