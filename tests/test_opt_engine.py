@@ -1,4 +1,5 @@
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -593,6 +594,51 @@ class TestStageHoist:
         assert float(aux1["joints_3d_loss"]) < float(aux0["joints_3d_loss"])
         for k in out:
             assert np.isfinite(np.asarray(out[k])).all(), k
+
+    @pytest.mark.skipif(
+        not os.environ.get("IHMR_FULL_OPT_PARITY"),
+        reason="slow full-schedule engine parity; set IHMR_FULL_OPT_PARITY=1",
+    )
+    def test_full_schedule_outcome_parity_vs_fused(self, model):
+        """Hoisted vs fused over the FULL 4x301-step schedule: raw params on
+        flat loss directions drift chaotically under Adam fp32 (measured
+        ~3e-2 on shapes — same class as the fused-vs-reference drift), so
+        the assertion is the codebase's established OUTCOME standard
+        (test_ref_e2e_opt.test_full_schedule_trajectory_parity): per-sample
+        select loss and GT-joint quality. Measured session 3: worst rel
+        select 0.033%, worst rel gt-j3d 0.15% over 3 seeds."""
+        import dataclasses as dc
+
+        from ihmr_tpu.refine.opt_engine import (
+            compute_losses,
+            run_all_stages_fused,
+            run_all_stages_hoisted,
+        )
+
+        strategy = tuple(
+            dc.replace(
+                s,
+                loss_weights=tuple(
+                    (k, 0.0 if k == "collision_loss_weight" else w)
+                    for k, w in s.loss_weights
+                ),
+            )
+            for s in opt_default
+        )
+        cfg = OptConfig(save_mid_freq=10)
+        w_final = dict(opt_default[-1].loss_weights)
+        params, batch = make_opt_inputs(model, batch=8, seed=7, noise=0.12)
+        fused = run_all_stages_fused(model, params, batch, strategy, cfg)
+        hoisted = run_all_stages_hoisted(model, params, batch, strategy, cfg)
+        _, af = compute_losses(model, fused, batch, w_final, cfg)
+        _, ah = compute_losses(model, hoisted, batch, w_final, cfg)
+        sf = np.asarray(af["joints_3d_loss_p_batch"])
+        sh = np.asarray(ah["joints_3d_loss_p_batch"])
+        np.testing.assert_allclose(sh.mean(), sf.mean(), rtol=0.02)
+        np.testing.assert_allclose(sh, sf, rtol=0.10, atol=1e-4)
+        np.testing.assert_allclose(
+            float(ah["joints_3d_loss"]), float(af["joints_3d_loss"]), rtol=0.02
+        )
 
     def test_opt_with_cam_runs_hoisted(self, model, inputs):
         """The non-uniform opt_with_cam strategy (100-step cam stage) is not
