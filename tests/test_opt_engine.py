@@ -595,6 +595,27 @@ class TestStageHoist:
         for k in out:
             assert np.isfinite(np.asarray(out[k])).all(), k
 
+    def test_grid_in_loop_runs_hoisted(self, model, inputs):
+        """The reference-mechanism grid backend in-loop (grid_in_loop) must
+        work through the hoisted engine's per-block payload rebuild path
+        (payload mode 'grid' + stage-specialized forwards). One orient
+        stage only: the grid voxelizer is a heavy compile and the hoisted
+        engine builds one program per stage — a full 4-stage grid schedule
+        is a TPU study configuration (scripts/grid_sdf_study.py), not a
+        CPU test."""
+        params, batch = inputs
+        strategy = (dataclasses.replace(opt_default[1], epoch=3),)
+        cfg = OptConfig(
+            save_mid_freq=2,
+            loop_collision_fast=False,
+            collision_backend="grid",
+        )
+        assert cfg.grid_in_loop() and cfg.stage_hoist_decode
+        out, res = optimize_batch(model, params, batch, strategy, cfg)
+        for k in out:
+            assert np.isfinite(np.asarray(out[k])).all(), k
+        assert np.isfinite(np.asarray(res["collision_loss"])).all()
+
     @pytest.mark.skipif(
         not os.environ.get("IHMR_FULL_OPT_PARITY"),
         reason="slow full-schedule engine parity; set IHMR_FULL_OPT_PARITY=1",
