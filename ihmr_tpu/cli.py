@@ -20,6 +20,7 @@ import argparse
 import dataclasses
 import os
 import os.path as osp
+import sys
 
 import numpy as np
 
@@ -541,6 +542,40 @@ def main(argv=None):
     p.set_defaults(func=cmd_serve)
 
     args = parser.parse_args(argv)
+
+    # Diagnostic only (no exit): if the TPU plugin's tunnel is unreachable,
+    # backend init sleeps in a connect-retry loop with zero output — tell
+    # the user what is happening instead of hanging silently. The timer is
+    # cancelled by the probe thread the moment the backend answers.
+    import threading
+
+    def _probe():
+        try:
+            import jax
+
+            jax.devices()
+        except Exception:
+            pass
+        finally:
+            hint.cancel()
+
+    hint_secs = float(os.environ.get("IHMR_INIT_HINT_SECS", "120"))
+    hint = threading.Timer(
+        hint_secs,
+        lambda: print(
+            f"[ihmr_tpu] still waiting on jax backend init after "
+            f"{hint_secs:.0f}s — if this is the axon TPU plugin, its tunnel "
+            "may be down (it retries forever). Set JAX_PLATFORMS=cpu to run "
+            "on CPU.",
+            file=sys.stderr,
+            flush=True,
+        ),
+    )
+    hint.daemon = True
+    hint.start()
+    probe = threading.Thread(target=_probe, daemon=True)
+    probe.start()
+
     args.func(args)
 
 
