@@ -40,6 +40,63 @@ from ihmr_tpu.mano.model import FINGERTIP_VERTEX_IDS, MANO_PARENTS, ManoModel
 # multi-process users (it must run before any backend touch)
 _TIPS = np.asarray(FINGERTIP_VERTEX_IDS)
 
+import os as _os
+
+_FK_LEVELS = _os.environ.get("IHMR_FK_LEVELS", "0") == "1"
+# the MANO tree is the wrist + 5 independent depth-3 finger chains; level d
+# holds the d-th joint of every finger (see _fk_levels)
+_FK_LEVEL_IDX = tuple(
+    tuple(int(k) for k in range(1, 16) if _d == ((k - 1) % 3 + 1))
+    for _d in (1, 2, 3)
+)
+
+
+def _fk_chain(rots: "jnp.ndarray", rel_j: "jnp.ndarray"):
+    """Sequential FK along MANO_PARENTS: 15 (B,3,3) matmul steps.
+
+    rots (B,16,3,3) local rotations, rel_j (B,16,3) parent-relative rest
+    offsets -> (glob_rot (B,16,3,3), glob_pos (B,16,3))."""
+    glob_rot = [rots[:, 0]]
+    glob_pos = [rel_j[:, 0]]
+    for k in range(1, 16):
+        p = int(MANO_PARENTS[k])
+        glob_rot.append(glob_rot[p] @ rots[:, k])
+        glob_pos.append(
+            glob_pos[p] + jnp.einsum("bij,bj->bi", glob_rot[p], rel_j[:, k], precision=_PREC)
+        )
+    return jnp.stack(glob_rot, axis=1), jnp.stack(glob_pos, axis=1)
+
+
+def _fk_levels(rots: "jnp.ndarray", rel_j: "jnp.ndarray"):
+    """Level-parallel FK: 3 batched (B,5,3,3) einsum levels (IHMR_FK_LEVELS).
+
+    Exactly the same recursion as _fk_chain, grouped by tree depth: every
+    finger's depth-d joint has its depth-(d-1) joint as parent, so each
+    level is one batched composition against the previous level."""
+    l1, l2, l3 = (list(ix) for ix in _FK_LEVEL_IDX)
+    R0 = rots[:, 0]  # (B,3,3)
+    t0 = rel_j[:, 0]  # (B,3)
+    Rs = [R0[:, None]]  # accumulated per level
+    ts = [t0[:, None]]
+    prev_R = jnp.broadcast_to(R0[:, None], rots[:, l1].shape)
+    prev_t = jnp.broadcast_to(t0[:, None], rel_j[:, l1].shape)
+    for idx in (l1, l2, l3):
+        cur_t = prev_t + jnp.einsum(
+            "bkij,bkj->bki", prev_R, rel_j[:, idx], precision=_PREC
+        )
+        cur_R = jnp.einsum(
+            "bkij,bkjl->bkil", prev_R, rots[:, idx], precision=_PREC
+        )
+        Rs.append(cur_R)
+        ts.append(cur_t)
+        prev_R, prev_t = cur_R, cur_t
+    # restore joint order: stacking order is [0 | level1 | level2 | level3]
+    order = [0] + l1 + l2 + l3
+    inv = np.argsort(np.asarray(order))
+    R = jnp.concatenate(Rs, axis=1)[:, inv]
+    t = jnp.concatenate(ts, axis=1)[:, inv]
+    return R, t
+
 
 @flax.struct.dataclass
 class HandParams:
@@ -134,29 +191,24 @@ def mano_decode(
         B, 778, 3
     )
 
-    # forward kinematics along the (static) MANO tree. NOTE: a level-parallel
-    # variant (the depth-4 tree as 3 batched (B,5,3,3) einsum levels instead
-    # of 15 sequential products) was tried TWICE and rejected: at the eager
-    # defaults it measured 105 -> 97 hands/sec (tiny batched matmuls pad
-    # worse in lane layout than this chain, which XLA overlaps with the
-    # blend-shape work), and at the round-2 lazy defaults its fused program
-    # compiled pathologically (>12 min vs ~40 s) — the batched-level einsums
-    # inside the nested stage/block/step scans blow up XLA's scheduling.
+    # forward kinematics along the (static) MANO tree. NOTE: the default is
+    # the sequential chain; a level-parallel variant (the depth-4 tree as 3
+    # batched (B,5,3,3) einsum levels instead of 15 sequential products) was
+    # tried TWICE in round 2 and rejected: at the eager defaults it measured
+    # 105 -> 97 hands/sec (tiny batched matmuls pad worse in lane layout
+    # than this chain, which XLA overlaps with the blend-shape work), and at
+    # the round-2 lazy defaults its fused program compiled pathologically
+    # (>12 min vs ~40 s) — the batched-level einsums inside the nested
+    # stage/block/step scans blow up XLA's scheduling. With the round-3
+    # stage-hoisted engine the pose stage is a STANDALONE program, so the
+    # variant is kept re-measurable behind IHMR_FK_LEVELS=1 (read at trace
+    # time; _fk_levels is equivalence-tested against _fk_chain).
     rel_j = j_rest - jnp.where(
         (MANO_PARENTS >= 0)[None, :, None],
         j_rest[:, jnp.maximum(MANO_PARENTS, 0)],
         0.0,
     )
-    glob_rot = [rots[:, 0]]
-    glob_pos = [rel_j[:, 0]]
-    for k in range(1, 16):
-        p = int(MANO_PARENTS[k])
-        glob_rot.append(glob_rot[p] @ rots[:, k])
-        glob_pos.append(
-            glob_pos[p] + jnp.einsum("bij,bj->bi", glob_rot[p], rel_j[:, k], precision=_PREC)
-        )
-    R = jnp.stack(glob_rot, axis=1)  # (B, 16, 3, 3)
-    t = jnp.stack(glob_pos, axis=1)  # (B, 16, 3)
+    R, t = (_fk_levels if _FK_LEVELS else _fk_chain)(rots, rel_j)
 
     # remove rest pose: per-joint affine = [R | t - R @ j_rest]
     t_rel = t - jnp.einsum("bjik,bjk->bji", R, j_rest, precision=_PREC)

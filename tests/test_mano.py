@@ -96,6 +96,28 @@ class TestManoDecode:
         v2, _ = mano_decode(model, jnp.zeros((1, 3)), pose + mean, jnp.zeros((1, 10)))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
 
+    def test_fk_levels_equals_chain(self, model):
+        """The level-parallel FK (IHMR_FK_LEVELS experiment) must reproduce
+        the sequential chain exactly — same recursion, grouped by depth."""
+        from ihmr_tpu.core.rotations import axis_angle_to_matrix
+        from ihmr_tpu.mano.layer import _fk_chain, _fk_levels
+        from ihmr_tpu.mano.model import MANO_PARENTS
+
+        rng = np.random.RandomState(0)
+        B = 6
+        pose = jnp.asarray(rng.randn(B, 16, 3).astype(np.float32) * 0.6)
+        rots = axis_angle_to_matrix(pose)
+        j_rest = jnp.asarray(rng.randn(B, 16, 3).astype(np.float32) * 0.02)
+        rel_j = j_rest - jnp.where(
+            (MANO_PARENTS >= 0)[None, :, None],
+            j_rest[:, jnp.maximum(MANO_PARENTS, 0)],
+            0.0,
+        )
+        Rc, tc = _fk_chain(rots, rel_j)
+        Rl, tl = _fk_levels(rots, rel_j)
+        np.testing.assert_allclose(np.asarray(Rl), np.asarray(Rc), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tl), np.asarray(tc), atol=1e-6)
+
     def test_jit_and_grad(self, model):
         def loss(pose):
             verts, _ = mano_decode(model, jnp.zeros((2, 3)), pose, jnp.zeros((2, 10)))
