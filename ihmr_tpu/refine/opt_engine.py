@@ -28,6 +28,7 @@ per-sample trajectories match the reference's regardless of batch size.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -959,8 +960,16 @@ def _run_one_stage_hoisted(
     steps = stage.epoch + 1
     parities = (jnp.int32(0), jnp.int32(1)) if alternate else (None,)
     blocked = (not coll_zero) and (config.lazy_active() or grid_mode)
+    # Unroll the inner STEP scan: the per-step ops are tiny (the trans stage's
+    # whole step is ~78 us of device work at B=128) and the while-loop leaves
+    # ~40% of the wall idle between iterations (trace_stage.py vs stage_bench
+    # wall numbers, docs/PERFORMANCE.md); unrolling amortizes the loop
+    # control and lets the scheduler pack adjacent steps' small ops.
+    unroll = int(os.environ.get("IHMR_SCAN_UNROLL", "1"))
     if not blocked:
-        carry, _ = jax.lax.scan(make_step(None), carry, jnp.arange(steps))
+        carry, _ = jax.lax.scan(
+            make_step(None), carry, jnp.arange(steps), unroll=unroll
+        )
     else:
         freq = config.save_mid_freq
         nblocks, tail = divmod(steps, freq)
@@ -974,7 +983,8 @@ def _run_one_stage_hoisted(
         def block(carry, b):
             payload_set = payload_at(carry[0])
             carry, _ = jax.lax.scan(
-                make_step(payload_set), carry, b * freq + jnp.arange(freq)
+                make_step(payload_set), carry, b * freq + jnp.arange(freq),
+                unroll=unroll,
             )
             return carry, None
 
@@ -983,7 +993,8 @@ def _run_one_stage_hoisted(
         if tail:
             payload_set = payload_at(carry[0])
             carry, _ = jax.lax.scan(
-                make_step(payload_set), carry, nblocks * freq + jnp.arange(tail)
+                make_step(payload_set), carry, nblocks * freq + jnp.arange(tail),
+                unroll=unroll,
             )
     return {**frozen, **carry[3]}
 
