@@ -554,20 +554,33 @@ def collision_loss(
     return depths_to_loss(depths, right_verts, left_verts, hand_type_array, robustifier)
 
 
+def pair_aabb_scale(right_verts: jnp.ndarray, left_verts: jnp.ndarray) -> jnp.ndarray:
+    """(B, 1) normalization scale: half the max extent of the two-hand union
+    AABB (detached, like the reference's grid scale)."""
+    allv = jax.lax.stop_gradient(jnp.concatenate([right_verts, left_verts], axis=1))
+    extent = jnp.max(allv, axis=1) - jnp.min(allv, axis=1)  # (B, 3)
+    scale = 0.5 * jnp.max(extent, axis=-1, keepdims=True)  # (B, 1)
+    return jnp.maximum(scale, 1e-6)
+
+
 def depths_to_loss(
     depths: jnp.ndarray,  # (B, 2*Vq) raw penetration depths
     right_verts: jnp.ndarray,
     left_verts: jnp.ndarray,
     hand_type_array: jnp.ndarray,
     robustifier: Optional[float] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Depths -> the reference loss triple (normalize, robustify, mask)."""
-    # normalization scale: half the max extent of the two-hand union AABB
-    # (detached, like the reference's grid scale)
-    allv = jax.lax.stop_gradient(jnp.concatenate([right_verts, left_verts], axis=1))
-    extent = jnp.max(allv, axis=1) - jnp.min(allv, axis=1)  # (B, 3)
-    scale = 0.5 * jnp.max(extent, axis=-1, keepdims=True)  # (B, 1)
-    scale = jnp.maximum(scale, 1e-6)
+    """Depths -> the reference loss triple (normalize, robustify, mask).
+
+    ``scale`` substitutes a precomputed (e.g. block-frozen) normalization
+    scale; it is gradient-free either way (the live AABB is stop_gradient'd),
+    so passing a stale scale changes loss MAGNITUDE only, never gradient
+    structure — and it frees the per-step program from the only full-vertex
+    reduce, letting XLA slice the decode down to the strided query rows
+    (OptConfig.loop_collision_freeze_positions)."""
+    if scale is None:
+        scale = pair_aabb_scale(right_verts, left_verts)
 
     d_norm = depths / scale
     per_vert_loss = d_norm * d_norm

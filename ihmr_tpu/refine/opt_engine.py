@@ -51,6 +51,7 @@ from ihmr_tpu.mano.model import ManoModel
 from ihmr_tpu.ops.collision import (
     collision_loss,
     depths_to_loss,
+    pair_aabb_scale,
     pair_depths_at,
     pair_depths_at_tris,
     pair_indices,
@@ -166,6 +167,11 @@ class OptConfig:
     # config, +0.33+/-0.66); GT-joint error flat or better everywhere.
     # Exactness: at save_mid_freq=1 this path is bit-equivalent to per-step
     # positions (tests/test_opt_engine.py::TestFrozenPositions).
+    # The AABB NORMALIZATION SCALE freezes with the positions (same contract:
+    # gradient-free always — the live AABB is stop_gradient'd — fresh at
+    # every snapshot, bit-equivalent at save_mid_freq=1): it was the step's
+    # only full-vertex reduce, and with it hoisted XLA slices the per-step
+    # decode down to the strided collision-query rows.
     loop_collision_freeze_positions: bool = flax.struct.field(
         pytree_node=False, default=True
     )
@@ -383,11 +389,16 @@ def compute_losses(
     elif fast_in_loop and coll_tris is not None:
         # block-frozen triangle POSITIONS (loop_collision_freeze_positions):
         # live queries against triangles pre-built at the block boundary —
-        # the per-step path contains zero gathers
+        # the per-step path contains zero gathers. The AABB normalization
+        # scale is frozen with them (same staleness contract: fresh at every
+        # snapshot, gradient-free always) so the step's only full-vertex use
+        # disappears and XLA slices the decode to the query rows.
+        tri_r, tri_l, frozen_scale = coll_tris
         q_r, q_l = _query_subsets(rv, lv, sub, coll_parity)
-        depths = pair_depths_at_tris(q_r, q_l, *coll_tris)
+        depths = pair_depths_at_tris(q_r, q_l, tri_r, tri_l)
         coll, coll_batch, coll_origin = depths_to_loss(
-            depths, rv, lv, batch.hand_type_array, config.robustifier
+            depths, rv, lv, batch.hand_type_array, config.robustifier,
+            scale=frozen_scale,
         )
     elif fast_in_loop and coll_idx is not None:
         # frozen nearest-face selection (recomputed by the caller once per
@@ -603,11 +614,13 @@ def _lazy_coll_payload(
     faces_r_s = model.faces[::fsub] if fsub > 1 else model.faces
     faces_l_s = faces_l[::fsub] if fsub > 1 else faces_l
     out = []
+    scale = pair_aabb_scale(rv, lv) if mode == "tris" else None
     for par in parities:
         q_r, q_l = _query_subsets(rv, lv, sub, par)
         idx = pair_indices(q_r, q_l, rv, lv, faces_r_s, faces_l_s)
         if mode == "tris":
-            out.append(pair_tris_at(rv, lv, faces_r_s, faces_l_s, *idx))
+            tri_r, tri_l = pair_tris_at(rv, lv, faces_r_s, faces_l_s, *idx)
+            out.append((tri_r, tri_l, scale))
         else:
             out.append(idx)
     return tuple(out)
@@ -960,12 +973,19 @@ def _run_one_stage_hoisted(
     steps = stage.epoch + 1
     parities = (jnp.int32(0), jnp.int32(1)) if alternate else (None,)
     blocked = (not coll_zero) and (config.lazy_active() or grid_mode)
-    # Unroll the inner STEP scan: the per-step ops are tiny (the trans stage's
-    # whole step is ~78 us of device work at B=128) and the while-loop leaves
-    # ~40% of the wall idle between iterations (trace_stage.py vs stage_bench
-    # wall numbers, docs/PERFORMANCE.md); unrolling amortizes the loop
-    # control and lets the scheduler pack adjacent steps' small ops.
-    unroll = int(os.environ.get("IHMR_SCAN_UNROLL", "1"))
+    # Unroll the inner STEP scan for HOISTED stages: their per-step ops are
+    # tiny (the trans stage's step is ~72 us of device busy at B=128 against
+    # ~238 us of wall — ~65% loop-control/scheduling bubbles, trace_stage.py)
+    # so unrolling one full snapshot block lets the scheduler pack adjacent
+    # steps' small ops: MEASURED at B=128 trans 238->211, orient 331->294,
+    # shape 419->284 us/step. The generic-decode pose stage is compute-dense
+    # enough that unrolling buys nothing (377->383, slightly worse) — it
+    # stays rolled. Env IHMR_SCAN_UNROLL overrides for experiments.
+    unroll_env = os.environ.get("IHMR_SCAN_UNROLL")
+    if unroll_env is not None:
+        unroll = int(unroll_env)
+    else:
+        unroll = min(config.save_mid_freq, 10) if fwd_fn is not None else 1
     if not blocked:
         carry, _ = jax.lax.scan(
             make_step(None), carry, jnp.arange(steps), unroll=unroll
