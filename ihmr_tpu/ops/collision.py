@@ -116,8 +116,10 @@ def penetration_depth(
     mesh_verts: jnp.ndarray,  # (Vm, 3)
     faces: jnp.ndarray,  # (F, 3) int, outward winding
     num_candidates: int = 8,
+    margin: float = 0.0,
 ) -> jnp.ndarray:
-    """Per-query penetration depth into a closed mesh; 0 outside. (V,)
+    """Per-query penetration depth into a closed mesh; 0 outside (or an
+    outward shell when ``margin`` > 0 — see _shell_depth). (V,)
 
     The MESH side is detached (stop_gradient): the reference's CUDA phi-grid
     voxelization is non-differentiable, so its collision gradients only push
@@ -177,7 +179,7 @@ def penetration_depth(
 
     normal = jnp.cross(tri_best[:, 1] - tri_best[:, 0], tri_best[:, 2] - tri_best[:, 0])
     inside = jnp.sum((query - closest_best) * normal, axis=-1) < 0
-    return jnp.where(inside, dist, 0.0)
+    return _shell_depth(dist, inside, margin)
 
 
 def _pair_depths(
@@ -187,6 +189,7 @@ def _pair_depths(
     faces_left: jnp.ndarray,
     num_candidates: int,
     query_subsample: int = 1,
+    margin: float = 0.0,
 ) -> jnp.ndarray:
     """(2*Vq,) raw penetration depths: right verts into left mesh, then
     left verts into right mesh.
@@ -197,8 +200,8 @@ def _pair_depths(
     jit into degenerate triangles; this was a real round-1 bug in the
     subsampled in-loop path, caught by an eager numpy IndexError)."""
     s = query_subsample
-    d_r = penetration_depth(right_verts[::s], left_verts, faces_left, num_candidates)
-    d_l = penetration_depth(left_verts[::s], right_verts, faces_right, num_candidates)
+    d_r = penetration_depth(right_verts[::s], left_verts, faces_left, num_candidates, margin)
+    d_l = penetration_depth(left_verts[::s], right_verts, faces_right, num_candidates, margin)
     return jnp.concatenate([d_r, d_l], axis=0)
 
 
@@ -301,6 +304,7 @@ def penetration_depth_at(
     mesh_verts: jnp.ndarray,  # (Vm, 3)
     faces: jnp.ndarray,  # (F, 3)
     idx: jnp.ndarray,  # (V,) face index per query (e.g. nearest_face_indices)
+    margin: float = 0.0,
 ) -> jnp.ndarray:
     """Penetration depth against the GIVEN face per query — the exact
     point-triangle refinement of the K=1 path with the selection factored
@@ -332,7 +336,7 @@ def penetration_depth_at(
     dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), _EPS))
     normal = jnp.cross(tri_best[:, 1] - tri_best[:, 0], tri_best[:, 2] - tri_best[:, 0])
     inside = jnp.sum(diff * normal, axis=-1) < 0
-    return jnp.where(inside, dist, 0.0)
+    return _shell_depth(dist, inside, margin)
 
 
 def pair_indices(
@@ -366,6 +370,7 @@ def pair_depths_at(
     faces_left: jnp.ndarray,
     idx_r: jnp.ndarray,  # (B, Vq)
     idx_l: jnp.ndarray,  # (B, Vq)
+    margin: float = 0.0,
 ) -> jnp.ndarray:
     """(B, 2*Vq) depths at frozen face selections (both directions).
 
@@ -374,10 +379,10 @@ def pair_depths_at(
     MEASURED SLOWER end-to-end, 131.5 -> 108.9 hands/sec: the per-step
     (2B, V, 3) concatenations of queries/meshes/indices cost more than the
     kernel fusion saves. Two per-direction calls stay."""
-    d_r = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_left, i))(
+    d_r = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_left, i, margin))(
         query_r, mesh_l, idx_r
     )
-    d_l = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_right, i))(
+    d_l = jax.vmap(lambda q, m, i: penetration_depth_at(q, m, faces_right, i, margin))(
         query_l, mesh_r, idx_l
     )
     return jnp.concatenate([d_r, d_l], axis=1)
@@ -409,7 +414,31 @@ def pair_tris_at(
     return tri_r, tri_l
 
 
-def _depth_at_tris_single(query: jnp.ndarray, tri_best: jnp.ndarray) -> jnp.ndarray:
+def _shell_depth(dist: jnp.ndarray, inside: jnp.ndarray, margin: float) -> jnp.ndarray:
+    """Penetration depth with an outward SHELL of ``margin`` mesh units:
+    phi = max(0, margin - signed_dist) — margin + dist inside the mesh,
+    linearly decaying to 0 at ``margin`` outside it; margin=0 reproduces the
+    plain inside-only depth exactly.
+
+    Why (round-4 interlock diagnosis, docs/interlock_diag.json): the
+    reference's 32^3 grid field trilinearly SMEARS the surface by ~1 cell
+    (~5-10 mm at hand scale), so near-contact vertices feel outward pressure
+    BEFORE penetrating and pushed-out vertices are pressed PAST the surface
+    instead of resting on it. That field shape — not depth accuracy, which
+    the grid is measurably WORSE at (rel-err 0.57 vs 0.26 for K=8) — is what
+    resolves deep interlocks: final exact collision 0.199 (grid) vs 2.73
+    (near-exact K=8 depths) vs 4.93 (shipping K=1). The shell reproduces the
+    smear on the nearest-face path at zero extra kernel cost. In-loop only;
+    the final metrics pass always measures true penetration (margin=0)."""
+    if margin == 0.0:
+        return jnp.where(inside, dist, 0.0)
+    signed = jnp.where(inside, -dist, dist)
+    return jnp.maximum(margin - signed, 0.0)
+
+
+def _depth_at_tris_single(
+    query: jnp.ndarray, tri_best: jnp.ndarray, margin: float = 0.0
+) -> jnp.ndarray:
     """(V, 3) live queries vs (V, 3, 3) PRE-BUILT triangles -> (V,) depths.
     The triangle positions are block-frozen (stop_gradient'd at build); the
     gradient path is the query side only — identical to the per-step variant,
@@ -419,7 +448,7 @@ def _depth_at_tris_single(query: jnp.ndarray, tri_best: jnp.ndarray) -> jnp.ndar
     dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), _EPS))
     normal = jnp.cross(tri_best[:, 1] - tri_best[:, 0], tri_best[:, 2] - tri_best[:, 0])
     inside = jnp.sum(diff * normal, axis=-1) < 0
-    return jnp.where(inside, dist, 0.0)
+    return _shell_depth(dist, inside, margin)
 
 
 def pair_depths_at_tris(
@@ -427,11 +456,13 @@ def pair_depths_at_tris(
     query_l: jnp.ndarray,  # (B, Vq, 3)
     tri_r: jnp.ndarray,  # (B, Vq, 3, 3) from pair_tris_at
     tri_l: jnp.ndarray,  # (B, Vq, 3, 3)
+    margin: float = 0.0,
 ) -> jnp.ndarray:
     """(B, 2*Vq) depths of live queries against block-frozen triangles —
     the zero-gather per-step variant of pair_depths_at."""
-    d_r = jax.vmap(_depth_at_tris_single)(query_r, tri_r)
-    d_l = jax.vmap(_depth_at_tris_single)(query_l, tri_l)
+    fn = lambda q, t: _depth_at_tris_single(q, t, margin)
+    d_r = jax.vmap(fn)(query_r, tri_r)
+    d_l = jax.vmap(fn)(query_l, tri_l)
     return jnp.concatenate([d_r, d_l], axis=1)
 
 
@@ -477,6 +508,7 @@ def _pair_depths_fast(right_verts, left_verts, faces_right, faces_left, query_su
         "backend",
         "cluster_group",
         "query_subsample",
+        "margin",
     ),
 )
 def collision_loss(
@@ -490,6 +522,7 @@ def collision_loss(
     backend: str = "auto",
     cluster_group: int = 8,
     query_subsample: int = 1,
+    margin: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Reference-contract collision loss (see module docstring).
 
@@ -512,6 +545,9 @@ def collision_loss(
     s = query_subsample
     if backend == "auto":
         backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    assert margin == 0.0 or backend in ("xla", "fast"), (
+        f"margin shell is implemented for the xla/fast nearest-face paths, not {backend}"
+    )
     if backend == "2level":
         depths = jax.vmap(
             lambda r, l: _pair_depths_2level(
@@ -528,7 +564,7 @@ def collision_loss(
             )(right_verts, left_verts)
         else:
             depths = jax.vmap(
-                lambda r, l: _pair_depths(r, l, faces_right, faces_left, 1, s)
+                lambda r, l: _pair_depths(r, l, faces_right, faces_left, 1, s, margin)
             )(right_verts, left_verts)
     elif backend == "pallas":
         from ihmr_tpu.ops.pallas_collision import pair_depths_pallas
@@ -548,7 +584,9 @@ def collision_loss(
     else:
         assert backend == "xla", backend
         depths = jax.vmap(
-            lambda r, l: _pair_depths(r, l, faces_right, faces_left, num_candidates, s)
+            lambda r, l: _pair_depths(
+                r, l, faces_right, faces_left, num_candidates, s, margin
+            )
         )(right_verts, left_verts)  # (B, 2*Vq)
 
     return depths_to_loss(depths, right_verts, left_verts, hand_type_array, robustifier)
@@ -574,10 +612,15 @@ def depths_to_loss(
     """Depths -> the reference loss triple (normalize, robustify, mask).
 
     ``scale`` substitutes a precomputed (e.g. block-frozen) normalization
-    scale; it is gradient-free either way (the live AABB is stop_gradient'd),
-    so passing a stale scale changes loss MAGNITUDE only, never gradient
-    structure — and it frees the per-step program from the only full-vertex
-    reduce, letting XLA slice the decode down to the strided query rows
+    scale; it is gradient-free either way (the live AABB is stop_gradient'd).
+    A stale scale rescales the collision gradient (d(loss)/d(depth) carries
+    1/scale^2, shifting the collision term's weight relative to the other
+    losses within a block) and, with a robustifier set, shifts the
+    Geman-McClure saturation knee (which vertices saturate depends on
+    d_norm) — both bounded by one-block staleness and fresh at every
+    snapshot, and bit-equivalent to the live scale at save_mid_freq=1.
+    It also frees the per-step program from the only full-vertex reduce,
+    letting XLA slice the decode down to the strided query rows
     (OptConfig.loop_collision_freeze_positions)."""
     if scale is None:
         scale = pair_aabb_scale(right_verts, left_verts)
