@@ -176,11 +176,42 @@ def mano_decode(
     pose = jnp.concatenate([global_orient, hand_pose], axis=-1).reshape(B, 16, 3)
     rots = axis_angle_to_matrix(pose.astype(dtype))  # (B, 16, 3, 3)
 
+    v_shaped, j_rest, rel_j = shape_rest_parts(model, betas)
+    return _decode_from_parts(model, rots, v_shaped, j_rest, rel_j)
+
+
+def shape_rest_parts(
+    model: ManoModel, betas: jnp.ndarray  # (B, 10)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The betas-only decode terms: (v_shaped (B,778,3), j_rest (B,16,3),
+    rel_j (B,16,3) parent-relative rest offsets).
+
+    Loop-invariant whenever the shapes are frozen — pose-only refinement
+    stages hoist these out of the optimizer step (two_hand_pose_payload)."""
+    dtype = model.v_template.dtype
     # shape blendshapes (MXU: (B,10) x (10, 2334))
     v_shaped = model.v_template + jnp.einsum(
         "bs,vcs->bvc", betas.astype(dtype), model.shapedirs, precision=_PREC
     )
     j_rest = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped, precision=_PREC)  # (B, 16, 3)
+    rel_j = j_rest - jnp.where(
+        (MANO_PARENTS >= 0)[None, :, None],
+        j_rest[:, jnp.maximum(MANO_PARENTS, 0)],
+        0.0,
+    )
+    return v_shaped, j_rest, rel_j
+
+
+def _decode_from_parts(
+    model: ManoModel,
+    rots: jnp.ndarray,  # (B, 16, 3, 3) local joint rotations incl. root
+    v_shaped: jnp.ndarray,  # (B, 778, 3)
+    j_rest: jnp.ndarray,  # (B, 16, 3)
+    rel_j: jnp.ndarray,  # (B, 16, 3)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pose blendshapes + FK + skinning given precomputed rest-shape parts."""
+    B = rots.shape[0]
+    dtype = v_shaped.dtype
 
     # pose blendshapes (MXU: (B,135) x (135, 2334))
     eye = jnp.eye(3, dtype=dtype)
@@ -203,11 +234,6 @@ def mano_decode(
     # stage-hoisted engine the pose stage is a STANDALONE program, so the
     # variant is kept re-measurable behind IHMR_FK_LEVELS=1 (read at trace
     # time; _fk_levels is equivalence-tested against _fk_chain).
-    rel_j = j_rest - jnp.where(
-        (MANO_PARENTS >= 0)[None, :, None],
-        j_rest[:, jnp.maximum(MANO_PARENTS, 0)],
-        0.0,
-    )
     R, t = (_fk_levels if _FK_LEVELS else _fk_chain)(rots, rel_j)
 
     # remove rest pose: per-joint affine = [R | t - R @ j_rest]
@@ -322,6 +348,53 @@ def two_hand_decode_from_identity(
     lbs_j = (
         jnp.einsum("bij,bnj->bni", R0, lbs_j_id - pivot, precision=_PREC) + pivot
     )
+    return _mirror_and_anchor(verts, lbs_j, trans, B)
+
+
+def two_hand_pose_payload(
+    right_model: ManoModel,
+    right_orient: jnp.ndarray,  # (B, 3)
+    left_orient: jnp.ndarray,  # (B, 3)
+    right_shape: jnp.ndarray,  # (B, 10)
+    left_shape: jnp.ndarray,  # (B, 10)
+):
+    """Hoistable decode terms for POSE-only refinement stages (orient and
+    shapes frozen): the betas-only rest-shape parts (shape_rest_parts) plus
+    the frozen root rotation matrix, in the mirrored 2B layout.
+
+    EXACT partial evaluation of ``two_hand_decode_mirrored``: with shapes
+    frozen, v_shaped / j_rest / rel_j never change across the stage's steps;
+    with global orient frozen, rots[:, 0] is a constant matrix. Only the 15
+    finger-joint rotations, the pose blendshapes, FK and skinning remain in
+    the per-step program (two_hand_decode_from_pose_payload)."""
+    orient = jnp.concatenate([right_orient, flip_hand_pose(left_orient)], axis=0)
+    betas = jnp.concatenate([right_shape, left_shape], axis=0)
+    dtype = right_model.v_template.dtype
+    rot0 = axis_angle_to_matrix(orient.astype(dtype))  # (2B, 3, 3)
+    v_shaped, j_rest, rel_j = shape_rest_parts(right_model, betas)
+    return v_shaped, j_rest, rel_j, rot0
+
+
+def two_hand_decode_from_pose_payload(
+    right_model: ManoModel,
+    payload,  # from two_hand_pose_payload
+    right_pose: jnp.ndarray,  # (B, 45)
+    left_pose: jnp.ndarray,  # (B, 45)
+    trans: jnp.ndarray,  # (B, 3)
+    hands_mean: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decode with the rest-shape parts and root rotation hoisted; exact
+    (see two_hand_pose_payload). Returns the same triple as
+    ``two_hand_decode_mirrored``."""
+    v_shaped, j_rest, rel_j, rot0 = payload
+    B = right_pose.shape[0]
+    dtype = v_shaped.dtype
+    hand_pose = jnp.concatenate([right_pose, flip_hand_pose(left_pose)], axis=0)
+    if hands_mean is not None:
+        hand_pose = hand_pose + hands_mean
+    rots_f = axis_angle_to_matrix(hand_pose.reshape(2 * B, 15, 3).astype(dtype))
+    rots = jnp.concatenate([rot0[:, None], rots_f], axis=1)  # (2B, 16, 3, 3)
+    verts, lbs_j = _decode_from_parts(right_model, rots, v_shaped, j_rest, rel_j)
     return _mirror_and_anchor(verts, lbs_j, trans, B)
 
 

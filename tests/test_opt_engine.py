@@ -520,13 +520,62 @@ class TestStageHoist:
                 np.asarray(g), np.asarray(w), atol=2e-5, err_msg=name
             )
 
-    def test_pose_stage_has_no_specialization(self, model, inputs):
-        from ihmr_tpu.refine.opt_engine import _make_stage_forward
+    def test_pose_stage_forward_exact(self, model, inputs):
+        """Round 4: the pose stage hoists the betas-only rest-shape parts
+        (v_shaped / j_rest / rel_j) and the frozen root rotation — exact
+        partial evaluation, so the payload forward must equal the generic
+        decode at finger poses FAR from the entry params."""
+        from ihmr_tpu.refine.opt_engine import _make_stage_forward, forward
 
         params, _ = inputs
-        assert _make_stage_forward(model, opt_default[2], params) is None
-        # the shape stage (index 3) IS specialized via the affine hoist
+        fwd = _make_stage_forward(model, opt_default[2], params)
+        assert fwd is not None
+        # the shape stage (index 3) stays specialized via the affine hoist
         assert _make_stage_forward(model, opt_default[3], params) is not None
+        rng = np.random.RandomState(6)
+        p2 = dict(params)
+        for k in ("right_pose", "left_pose"):
+            p2[k] = params[k] + jnp.asarray(
+                rng.randn(*params[k].shape).astype(np.float32) * 0.5
+            )
+        want = forward(model, p2)
+        got = fwd(p2)
+        for g, w, name in zip(got, want, ("rv", "lv", "j3d", "j2d")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=5e-6, err_msg=name
+            )
+
+    def test_hoisted_sgd_matches_per_stage(self, model, inputs):
+        """Round 4: sgd (momentum 0.9) runs through the hoisted engine; it
+        must reproduce the per-stage optax.sgd fallback trajectories (same
+        per-step-reselect regime as test_hoisted_matches_fused)."""
+        from ihmr_tpu.refine.opt_engine import (
+            run_all_stages_hoisted,
+            run_stage,
+        )
+
+        params, batch = inputs
+        strategy = _short_strategy(epochs=10)
+        cfg = OptConfig(
+            save_mid_freq=2,
+            optimizer="sgd",
+            loop_collision_subsample=1,
+            loop_collision_face_subsample=1,
+            loop_collision_lazy_reselect=False,
+        )
+        per_stage = params
+        for s in strategy:
+            per_stage = run_stage(model, per_stage, batch, s, cfg)
+        hoisted = run_all_stages_hoisted(model, params, batch, strategy, cfg)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(hoisted[k]), np.asarray(per_stage[k]), atol=5e-5, err_msg=k
+            )
+        # sgd must actually move the updated groups
+        assert (
+            np.abs(np.asarray(hoisted["trans"]) - np.asarray(params["trans"])).max()
+            > 1e-5
+        )
 
     def test_hoisted_matches_fused(self, model, inputs):
         """The unrolled+specialized engine must reproduce the scanned masked-

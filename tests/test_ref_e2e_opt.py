@@ -211,32 +211,42 @@ _WEIGHTS = dict(
 _EPOCH = 8
 _FREQ = 2
 
-_REF_STAGES = [
-    dict(
-        update_params=["pred_hand_trans"],
-        loss_weights=dict(_WEIGHTS),
-        lr=1e-2,
-        epoch=_EPOCH,
-        filter_loss=[("joints_3d_loss_p", "+0")],
-        select_loss="joints_3d_loss_p",
-    ),
-    dict(
-        update_params=["pred_left_orient", "pred_right_orient"],
-        loss_weights=dict(_WEIGHTS),
-        lr=5e-3,
-        epoch=_EPOCH,
-        filter_loss=[("joints_3d_loss_p", "+0")],
-        select_loss="joints_3d_loss_p",
-    ),
-    dict(
-        update_params=["pred_right_pose_params", "pred_left_pose_params"],
-        loss_weights=dict(_WEIGHTS),
-        lr=5e-3,
-        epoch=_EPOCH,
-        filter_loss=[("joints_3d_loss_p", "+0")],
-        select_loss="joints_3d_loss_p",
-    ),
-]
+def _make_ref_stages(lr_scale=1.0):
+    # lr_scale exists for the sgd leg: raw-gradient SGD at the Adam-tuned
+    # 1e-2/5e-3 rates overshoots (weight-1000 L2 losses -> huge gradients),
+    # every snapshot fails the filter and BOTH engines trivially return
+    # snapshot 0 — parity, but of a no-op. Scaling the lr down makes the
+    # sgd trajectory actually improve so the oracle compares real motion.
+    return [
+        dict(
+            update_params=["pred_hand_trans"],
+            loss_weights=dict(_WEIGHTS),
+            lr=1e-2 * lr_scale,
+            epoch=_EPOCH,
+            filter_loss=[("joints_3d_loss_p", "+0")],
+            select_loss="joints_3d_loss_p",
+        ),
+        dict(
+            update_params=["pred_left_orient", "pred_right_orient"],
+            loss_weights=dict(_WEIGHTS),
+            lr=5e-3 * lr_scale,
+            epoch=_EPOCH,
+            filter_loss=[("joints_3d_loss_p", "+0")],
+            select_loss="joints_3d_loss_p",
+        ),
+        dict(
+            update_params=["pred_right_pose_params", "pred_left_pose_params"],
+            loss_weights=dict(_WEIGHTS),
+            lr=5e-3 * lr_scale,
+            epoch=_EPOCH,
+            filter_loss=[("joints_3d_loss_p", "+0")],
+            select_loss="joints_3d_loss_p",
+        ),
+    ]
+
+
+_REF_STAGES = _make_ref_stages()
+_SGD_LR_SCALE = 2e-3  # sgd leg: 1e-2 -> 2e-5 etc.; see _make_ref_stages
 
 _GROUP_MAP = {
     "pred_cam_params": "cam",
@@ -250,11 +260,11 @@ _GROUP_MAP = {
 }
 
 
-def _our_stages():
+def _our_stages(stages=None):
     from ihmr_tpu.refine.schedule import Stage
 
     out = []
-    for s in _REF_STAGES:
+    for s in stages if stages is not None else _REF_STAGES:
         out.append(
             Stage(
                 update_params=tuple(_GROUP_MAP[p] for p in s["update_params"]),
@@ -268,7 +278,7 @@ def _our_stages():
     return tuple(out)
 
 
-def _build_ref_model(ref_env, batch):
+def _build_ref_model(ref_env, batch, optimizer="adam", stages=None):
     opt = SimpleNamespace(
         isTrain=False,
         process_rank=-1,
@@ -280,14 +290,16 @@ def _build_ref_model(ref_env, batch):
         trans_params_dim=3,
         num_joints=42,
         batchSize=batch,
-        optimizer="adam",
+        optimizer=optimizer,
         save_mid_freq=_FREQ,
         strategy="_e2e_parity",
         model_root="/nonexistent",
         checkpoints_dir="/tmp",
         gpu_ids=[0],
     )
-    ref_env.strategies["_e2e_parity"] = _REF_STAGES
+    ref_env.strategies["_e2e_parity"] = (
+        stages if stages is not None else _REF_STAGES
+    )
     return ref_env.OptimizeModel(opt)
 
 
@@ -401,6 +413,38 @@ def test_full_optimize_matches_reference(ref_env, inputs):
         atol=5e-4,
     )
     # the refinement must have actually moved the updated groups
+    assert np.abs(np.asarray(out_params["trans"]) - np.asarray(params["trans"])).max() > 1e-4
+
+
+def test_full_optimize_matches_reference_sgd(ref_env, inputs):
+    """The same whole-refinement oracle with ``--optimizer sgd`` (torch SGD,
+    momentum 0.9; ref src/models/optimize_model.py:346-347 and
+    src/options/opt_options.py:18) — round-4 coverage for the previously
+    untested sgd path, which the hoisted engine now serves directly instead
+    of silently falling back to per-stage programs."""
+    model, params, batch = inputs
+    sgd_stages = _make_ref_stages(_SGD_LR_SCALE)
+    ref = _build_ref_model(ref_env, BATCH, optimizer="sgd", stages=sgd_stages)
+    ref.set_input(_ref_input_from_batch(params, batch))
+    ref.init_optimize()
+    ref.optimize(iter_id=0, num_iter=1)
+
+    from ihmr_tpu.refine.opt_engine import OptConfig, optimize_batch
+
+    cfg = OptConfig(
+        save_mid_freq=_FREQ,
+        optimizer="sgd",
+        loop_collision_subsample=1,
+        loop_collision_face_subsample=1,
+    )
+    out_params, _results = optimize_batch(
+        model, params, batch, _our_stages(sgd_stages), cfg
+    )
+
+    for ref_name, ours in _GROUP_MAP.items():
+        got = np.asarray(out_params[ours])
+        want = getattr(ref, ref_name).detach().numpy().reshape(got.shape)
+        np.testing.assert_allclose(got, want, atol=2e-4, err_msg=ref_name)
     assert np.abs(np.asarray(out_params["trans"]) - np.asarray(params["trans"])).max() > 1e-4
 
 
