@@ -12,10 +12,18 @@ Design (TPU-first):
     batch is full, pads with the first request, runs the program once, and
     fans results back out — classic micro-batching; per-request latency is
     bounded by max_wait + one program execution.
-  * The HTTP layer is stdlib-only (TPU pods have no egress for deps), JSON
-    in/out: POST /predict {"images": [[H,W,3] float lists, ...]} ->
-    {"params": ..., "joints_3d": ..., "hand_type": ...}; GET /healthz;
-    GET /stats (queue depth, batches run, padding efficiency).
+  * The HTTP layer is stdlib-only (TPU pods have no egress for deps):
+    POST /predict, content negotiated by Content-Type —
+      - application/json (default): {"images": [[H,W,3] float lists, ...]}
+        -> {"results": [{"params": ..., "joints_3d": ...}, ...]}. Easy to
+        poke with curl, but float lists dominate the round trip (~1 s for a
+        3-image request; round-3 measurement).
+      - application/octet-stream: raw little-endian fp32, C-order,
+        (N, H, W, 3) — zero parse cost. Response is an uncompressed .npz
+        (application/x-npz) of stacked outputs; np.load(BytesIO(body)).
+      - application/x-npy: a single .npy array (N, H, W, 3) or (H, W, 3);
+        same .npz response.
+    GET /healthz; GET /stats (queue depth, batches run, padding efficiency).
 
 `python -m ihmr_tpu.cli serve --port ...` wires this to a trained encoder;
 see tests/test_serve.py for the contract.
@@ -188,6 +196,13 @@ class InferenceServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _send_bytes(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 if self.path == "/healthz":
                     self._send(200, {"status": "ok"})
@@ -200,10 +215,36 @@ class InferenceServer:
                 if self.path != "/predict":
                     self._send(404, {"error": "not found"})
                     return
+                ctype = self.headers.get("Content-Type", "application/json")
+                binary = ctype.startswith("application/octet-stream") or ctype.startswith(
+                    "application/x-npy"
+                )
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(length))
-                    images = np.asarray(req["images"], np.float32)
+                    body = self.rfile.read(length)
+                    if binary:
+                        # binary payloads (round 4): the JSON float lists
+                        # dominated the round trip (~1 s for 3 images); raw
+                        # fp32 / npy in, uncompressed npz out
+                        import io
+
+                        if ctype.startswith("application/x-npy"):
+                            images = np.load(io.BytesIO(body), allow_pickle=False)
+                        else:
+                            per = int(np.prod(srv.input_shape)) * 4
+                            if per == 0 or len(body) % per != 0:
+                                self._send(400, {
+                                    "error": f"octet-stream body of {len(body)} bytes "
+                                             f"is not a multiple of one fp32 sample "
+                                             f"({per} bytes, shape {srv.input_shape})"})
+                                return
+                            images = np.frombuffer(body, np.float32).reshape(
+                                (-1,) + srv.input_shape
+                            )
+                        images = np.asarray(images, np.float32)
+                    else:
+                        req = json.loads(body)
+                        images = np.asarray(req["images"], np.float32)
                     if images.ndim == len(srv.input_shape):  # single sample
                         images = images[None]
                     if images.shape[1:] != srv.input_shape:
@@ -212,9 +253,19 @@ class InferenceServer:
                             "error": f"input shape {images.shape[1:]} != "
                                      f"expected {srv.input_shape}"})
                         return
+                    results = srv.batcher.predict_many(list(images))
+                    if binary:
+                        import io
+
+                        stacked = {
+                            k: np.stack([r[k] for r in results]) for k in results[0]
+                        }
+                        buf = io.BytesIO()
+                        np.savez(buf, **stacked)  # uncompressed: speed > size
+                        self._send_bytes(200, buf.getvalue(), "application/x-npz")
+                        return
                     outs: List[Dict] = [
-                        {k: v.tolist() for k, v in out.items()}
-                        for out in srv.batcher.predict_many(list(images))
+                        {k: v.tolist() for k, v in out.items()} for out in results
                     ]
                     self._send(200, {"results": outs})
                 except ServerSaturated as e:

@@ -140,6 +140,65 @@ def test_http_bad_input_is_400(server):
     assert exc.value.code == 400
 
 
+def _post_binary(port, body, ctype, timeout=60):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict",
+        data=body,
+        headers={"Content-Type": ctype},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_http_predict_raw_fp32_roundtrip(server):
+    """Round-4 binary payload: raw little-endian fp32 in, npz out — and the
+    outputs must MATCH the JSON path bit-for-bit (same program, same batch
+    semantics)."""
+    import io
+
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(3, 64, 64, 3).astype(np.float32)
+    status, ctype, body = _post_binary(
+        server.port, imgs.tobytes(), "application/octet-stream"
+    )
+    assert status == 200 and ctype == "application/x-npz"
+    out = np.load(io.BytesIO(body))
+    assert out["params"].shape == (3, 122)
+    assert out["joints_3d"].shape == (3, 42, 3)
+    assert out["hand_type"].shape == (3, 2)
+
+    status, js = _post(server.port, "/predict", {"images": imgs.tolist()})
+    assert status == 200
+    want = np.asarray([r["params"] for r in js["results"]], np.float32)
+    np.testing.assert_allclose(out["params"], want, atol=1e-6)
+
+
+def test_http_predict_npy_roundtrip(server):
+    import io
+
+    rng = np.random.RandomState(2)
+    imgs = rng.rand(2, 64, 64, 3).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, imgs)
+    status, ctype, body = _post_binary(server.port, buf.getvalue(), "application/x-npy")
+    assert status == 200 and ctype == "application/x-npz"
+    out = np.load(io.BytesIO(body))
+    assert out["params"].shape == (2, 122)
+
+    # single-sample npy (no batch dim) works too
+    buf = io.BytesIO()
+    np.save(buf, imgs[0])
+    status, _, body = _post_binary(server.port, buf.getvalue(), "application/x-npy")
+    assert status == 200
+    assert np.load(io.BytesIO(body))["params"].shape == (1, 122)
+
+
+def test_http_predict_raw_bad_length_is_400(server):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post_binary(server.port, b"\x00" * 37, "application/octet-stream")
+    assert exc.value.code == 400
+
+
 def test_bad_sample_fails_its_caller_not_the_broker(predict_fn):
     """A malformed sample (wrong shape / non-numeric) must fail ITS OWN
     submit/predict call; the broker thread survives and later good requests
