@@ -224,46 +224,43 @@ class Evaluator:
         return md
 
     # ------------------------------------------------------------------
-    def render_results(self, res_vis_dir: str, limit: Optional[int] = None, size_type: str = "double"):
+    def render_results(
+        self,
+        res_vis_dir: str,
+        limit: Optional[int] = None,
+        size_type: str = "double",
+        num_workers: int = 16,
+    ):
         """Render predicted meshes over the source images to jpg
         (ref evaluator.py:231-275, OpenDR replaced by the numpy rasterizer).
-        Missing image files render on a blank canvas."""
-        import cv2
+        Missing image files render on a blank canvas.
 
-        from ihmr_tpu.utils import vis
-
+        Fans the render out over ``num_workers`` processes, matching the
+        reference's 16-way multiprocessing render (ref evaluator.py:262-275);
+        pass ``num_workers=1`` (or render few results) for the serial path.
+        The CPU rasterizer is pure numpy, so forked workers need no device."""
         io_utils.build_dir(res_vis_dir)
         size = self.input_size * 2 if size_type == "double" else self.input_size
-        for result in self.pred_results[:limit]:
-            if "pred_right_hand_verts" not in result:
-                continue
-            img = None
-            if io_utils.osp.exists(result["img_path"]):
-                ori = cv2.imread(result["img_path"])
-                if ori is not None:
-                    h, w = ori.shape[:2]
-                    ratio = size / max(h, w)
-                    canvas = np.zeros((size, size, 3), np.uint8)
-                    rh, rw = int(h * ratio), int(w * ratio)
-                    canvas[:rh, :rw] = cv2.resize(ori, (rw, rh))
-                    img = canvas[..., ::-1]  # BGR -> RGB
-            if img is None:
-                img = np.zeros((size, size, 3), np.uint8)
-            render = vis.render_together(
-                [
-                    np.asarray(result["pred_right_hand_verts"], np.float32),
-                    np.asarray(result["pred_left_hand_verts"], np.float32),
-                ],
-                [np.asarray(self.right_faces), np.asarray(self.left_faces)],
-                [vis.COLORS["light_green"], vis.COLORS["light_blue"]],
-                np.asarray(result["pred_cam_params"]),
-                size,
-                img,
-            )
-            out = np.concatenate([img, render], axis=0)
-            name = result["img_path_relative"].replace("/", "_")
-            name = name.rsplit(".", 1)[0] + ".jpg"
-            cv2.imwrite(io_utils.osp.join(res_vis_dir, name), out[..., ::-1])
+        results = [
+            r for r in self.pred_results[:limit] if "pred_right_hand_verts" in r
+        ]
+        faces_r = np.asarray(self.right_faces)
+        faces_l = np.asarray(self.left_faces)
+        tasks = [(r, faces_r, faces_l, size, res_vis_dir) for r in results]
+        if num_workers > 1 and len(tasks) > 8:
+            import multiprocessing as mp
+
+            try:
+                # fork: workers inherit loaded modules; the worker touches
+                # only cv2 + the numpy rasterizer, never a device backend
+                with mp.get_context("fork").Pool(processes=num_workers) as pool:
+                    pool.map(_render_one_result, tasks, chunksize=4)
+                return
+            except (OSError, ValueError):
+                pass  # restricted environments: fall through to serial
+        for task in tasks:
+            _render_one_result(task)
+
 
     def export_objs(self, res_obj_dir: str, limit: Optional[int] = None):
         """Dump predicted two-hand meshes as .obj (ref :231-275 without the
@@ -279,3 +276,39 @@ class Evaluator:
             name = result["img_path_relative"].replace("/", "_")
             name = name.rsplit(".", 1)[0] + ".obj"
             io_utils.save_mesh_to_obj(io_utils.osp.join(res_obj_dir, name), verts, faces)
+
+
+def _render_one_result(task) -> None:
+    """Render one prediction to jpg (module-level for multiprocessing)."""
+    import cv2
+
+    from ihmr_tpu.utils import vis
+
+    result, faces_r, faces_l, size, res_vis_dir = task
+    img = None
+    if io_utils.osp.exists(result["img_path"]):
+        ori = cv2.imread(result["img_path"])
+        if ori is not None:
+            h, w = ori.shape[:2]
+            ratio = size / max(h, w)
+            canvas = np.zeros((size, size, 3), np.uint8)
+            rh, rw = int(h * ratio), int(w * ratio)
+            canvas[:rh, :rw] = cv2.resize(ori, (rw, rh))
+            img = canvas[..., ::-1]  # BGR -> RGB
+    if img is None:
+        img = np.zeros((size, size, 3), np.uint8)
+    render = vis.render_together(
+        [
+            np.asarray(result["pred_right_hand_verts"], np.float32),
+            np.asarray(result["pred_left_hand_verts"], np.float32),
+        ],
+        [faces_r, faces_l],
+        [vis.COLORS["light_green"], vis.COLORS["light_blue"]],
+        np.asarray(result["pred_cam_params"]),
+        size,
+        img,
+    )
+    out = np.concatenate([img, render], axis=0)
+    name = result["img_path_relative"].replace("/", "_")
+    name = name.rsplit(".", 1)[0] + ".jpg"
+    cv2.imwrite(io_utils.osp.join(res_vis_dir, name), out[..., ::-1])
