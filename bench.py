@@ -196,6 +196,11 @@ def main():
                 "value": round(hands_per_sec, 3),
                 "unit": "hands/sec",
                 "vs_baseline": round(hands_per_sec / VS_BASELINE_REF, 3),
+                # vs_baseline divides by an ANALYTICAL estimate of the
+                # reference on one A100 (3.5 hands/sec; see module docstring
+                # + BASELINE.md) — the reference publishes no numbers and its
+                # CUDA stack cannot run here. Not a measured ratio.
+                "baseline_basis": "a100_estimate",
             }
         )
     )

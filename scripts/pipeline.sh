@@ -56,4 +56,8 @@ python -m ihmr_tpu.cli train-mlp --pred_path "$data_root/chain_pred.pkl" \
     ${stage_epochs:+--stage_epochs "$stage_epochs"} \
     "${common[@]}" 2>&1 | tee log/pipeline/3_mlp.log
 
+echo "[pipeline] phase 4: test-mlp (final cascade eval from checkpoints)"
+python -m ihmr_tpu.cli test-mlp --pred_path "$data_root/chain_pred.pkl" \
+    "${common[@]}" 2>&1 | tee log/pipeline/4_eval.log
+
 echo "[pipeline] complete; logs under log/pipeline/"
