@@ -46,12 +46,19 @@ def build_penetration_grid(
     res: int = 32,
     pad: float = 0.2,
     num_candidates: int = 8,
-    chunk: int = 4096,
+    chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (phi grid (res, res, res), cube center (3,), cube half-extent ()).
 
     The cube is the padded isotropic AABB of the mesh (the reference grid is
     likewise a per-hand box). Detached: voxelization takes no gradients.
+
+    ``chunk=0`` (default) evaluates the whole res^3 lattice in ONE
+    penetration_depth call — the (res^3, F) bf16 rank matrix is ~50 MB at
+    res=32 / F=769, well within VMEM-friendly tiling, and the single call
+    lets XLA pipeline the matmul/argmin instead of 8 sequential chunks
+    (round-4 fast-build work for the escalation engine; chunking remains
+    available for memory-constrained experiments).
     """
     verts = jax.lax.stop_gradient(verts)
     vmin = jnp.min(verts, axis=0)
@@ -66,14 +73,16 @@ def build_penetration_grid(
     )  # (res^3, 3)
 
     n = pts.shape[0]
-    assert n % chunk == 0 or chunk >= n
-    chunk = min(chunk, n)
-    phi = jnp.concatenate(
-        [
-            penetration_depth(pts[i : i + chunk], verts, faces, num_candidates)
-            for i in range(0, n, chunk)
-        ]
-    )
+    if chunk <= 0 or chunk >= n:
+        phi = penetration_depth(pts, verts, faces, num_candidates)
+    else:
+        assert n % chunk == 0
+        phi = jnp.concatenate(
+            [
+                penetration_depth(pts[i : i + chunk], verts, faces, num_candidates)
+                for i in range(0, n, chunk)
+            ]
+        )
     return phi.reshape(res, res, res), center, half
 
 
@@ -127,10 +136,21 @@ def pair_grids(
     faces_left: jnp.ndarray,
     res: int = 32,
     num_candidates: int = 8,
+    face_subsample: int = 1,
 ):
     """Batched per-hand grids for both directions:
     ((grid_l, c_l, h_l), (grid_r, c_r, h_r)) — grid_l is sampled by RIGHT
-    queries (right verts against the left hand's field) and vice versa."""
+    queries (right verts against the left hand's field) and vice versa.
+
+    ``face_subsample`` builds the field from every k-th Morton-sorted face
+    (a spatially uniform sub-mesh over the FULL vertex array, the same
+    contract as the in-loop nearest-face knob): the grid is a ~cell-size
+    smoothing mechanism already, so a stride-2 surface costs half the rank
+    arithmetic of the build — the escalation engine's fast-build knob,
+    quality-measured by scripts/grid_fast_study.py."""
+    if face_subsample > 1:
+        faces_right = faces_right[::face_subsample]
+        faces_left = faces_left[::face_subsample]
     build_l = jax.vmap(
         lambda m: build_penetration_grid(m, faces_left, res, num_candidates=num_candidates)
     )
