@@ -311,6 +311,7 @@ def cmd_optimize(args):
         loop_collision_fast=not grid,
         collision_backend="grid" if grid else "auto",
         stage_hoist_decode=not args.no_stage_hoist,
+        escalate_collision=args.escalate_collision,
     )
     strategy = strategies[args.strategy]
     if args.stage_epochs is not None:
@@ -497,6 +498,11 @@ def main(argv=None):
                    help="disable per-stage decode hoisting (the exact "
                         "partial evaluation of frozen parameter groups; "
                         "falls back to the scanned masked-Adam engine)")
+    p.add_argument("--escalate_collision", type=float, default=0.0,
+                   help="two-pass grid escalation threshold: samples whose "
+                        "final exact collision exceeds this re-refine with "
+                        "the reference-mechanism 32^3 grid backend and keep "
+                        "the better result (0 = off; refine/escalation.py)")
     p.add_argument("--loop_collision_backend", choices=["fast", "grid"],
                    default="fast",
                    help="'fast' = nearest-face (shipping default); 'grid' = "

@@ -16,6 +16,10 @@ from ihmr_tpu.refine.mlp_engine import (  # noqa: F401
     seed_from_backbone,
     select_better_params,
 )
+from ihmr_tpu.refine.escalation import (  # noqa: F401
+    grid_config,
+    optimize_batch_escalated,
+)
 from ihmr_tpu.refine.opt_engine import (  # noqa: F401
     OptBatch,
     OptConfig,

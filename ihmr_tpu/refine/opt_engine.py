@@ -57,6 +57,7 @@ from ihmr_tpu.ops.collision import (
     pair_depths_at,
     pair_depths_at_tris,
     pair_indices,
+    pair_select_tris,
     pair_tris_at,
 )
 from ihmr_tpu.refine.schedule import OPT_DEFAULT_LOSS_WEIGHTS, Stage
@@ -189,6 +190,25 @@ class OptConfig:
     # gradient/filter losses only; final metrics always measure true
     # penetration. Value selection: scripts/interlock_diag2.py margin sweep.
     loop_collision_margin: float = flax.struct.field(pytree_node=False, default=0.0)
+
+    # Two-pass grid ESCALATION threshold (round 4; refine/escalation.py):
+    # > 0 re-refines any sample whose final EXACT collision exceeds this
+    # value with the reference-mechanism grid in-loop backend and keeps the
+    # grid result iff it reduced that sample's exact collision. 0 = off.
+    # The fast engine's price for clean batches, the reference's deep-
+    # interlock behavior for the samples that need it. Threshold units are
+    # final exact collision-loss units (docs/grid_sdf_study.json: standard-
+    # benchmark residuals are ~0.0x, unresolved interlocks are >> 1).
+    escalate_collision: float = flax.struct.field(pytree_node=False, default=0.0)
+
+    # Grid-build fast knobs (escalation pass / grid_in_loop backend):
+    # voxelize against every k-th Morton-sorted face (spatially uniform
+    # sub-mesh; 1 = full mesh like the reference) and/or with a custom
+    # top-k candidate count (0 = num_candidates). The grid is a ~cell-size
+    # smoothing mechanism, so a coarser surface mostly re-labels which face
+    # wins inside a cell; quality gated by scripts/grid_fast_study.py.
+    grid_face_subsample: int = flax.struct.field(pytree_node=False, default=1)
+    grid_num_candidates: int = flax.struct.field(pytree_node=False, default=0)
 
     def lazy_active(self) -> bool:
         """Whether the fused engine may freeze nearest-face selections.
@@ -584,6 +604,16 @@ def run_stage(
 
 _ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
 _SGD_MOMENTUM = 0.9  # ref optimize_model.py:346-347
+# A/B switch for the merged-(2B) per-block payload builder — a round-4
+# MEASURED NEGATIVE kept for the record: isolated it is ~2x faster than the
+# two-call pair (scripts/rebuild_bench.py, 2141 -> ~1040 us at B=128: one
+# shared tri build, one merged rank/argmin/selection), but IN-ENGINE it
+# lost at every stage (stage_bench: trans 204->238, orient 268->330, pose
+# 378->401, shape 267->327 us/step) — XLA already CSEs the duplicate
+# mesh[faces] builds inside the jitted payload program, so the merge only
+# adds (2B) concat/split copies. Default OFF; IHMR_PAYLOAD_FUSED=1 to
+# re-measure.
+_PAYLOAD_FUSED = os.environ.get("IHMR_PAYLOAD_FUSED", "0") != "0"
 
 
 def _tree_zeros(tree):
@@ -635,13 +665,38 @@ def _lazy_coll_payload(
     if mode == "grid":
         from ihmr_tpu.ops.grid_sdf import pair_grids
 
-        # grids use the FULL face set (the reference voxelizes the full mesh)
-        return (pair_grids(rv, lv, model.faces, model.faces[:, ::-1]),)
+        # grids default to the FULL face set (the reference voxelizes the
+        # full mesh); the build-cost knobs are opt-in (OptConfig docstring)
+        return (
+            pair_grids(
+                rv,
+                lv,
+                model.faces,
+                model.faces[:, ::-1],
+                num_candidates=config.grid_num_candidates or config.num_candidates,
+                face_subsample=config.grid_face_subsample,
+            ),
+        )
     sub = config.loop_collision_subsample
     fsub = config.loop_collision_face_subsample
     faces_l = model.faces[:, ::-1]
     faces_r_s = model.faces[::fsub] if fsub > 1 else model.faces
     faces_l_s = faces_l[::fsub] if fsub > 1 else faces_l
+    if mode == "tris" and _PAYLOAD_FUSED:
+        # fused one-pass builder (round 4): single shared tri build + merged
+        # (2B) rank/argmin/selection — ~2x cheaper than the pair_indices +
+        # pair_tris_at pair (ops/collision.py::pair_select_tris). All
+        # parities' query subsets ride ONE call, concatenated on the V axis.
+        scale = pair_aabb_scale(rv, lv)
+        qs = [_query_subsets(rv, lv, sub, par) for par in parities]
+        q_r = jnp.concatenate([q[0] for q in qs], axis=1) if len(qs) > 1 else qs[0][0]
+        q_l = jnp.concatenate([q[1] for q in qs], axis=1) if len(qs) > 1 else qs[0][1]
+        tri_r, tri_l = pair_select_tris(q_r, q_l, rv, lv, faces_r_s, faces_l_s)
+        v = qs[0][0].shape[1]
+        return tuple(
+            (tri_r[:, i * v : (i + 1) * v], tri_l[:, i * v : (i + 1) * v], scale)
+            for i in range(len(qs))
+        )
     out = []
     scale = pair_aabb_scale(rv, lv) if mode == "tris" else None
     for par in parities:
@@ -1118,7 +1173,6 @@ def _run_one_stage_hoisted(
     return {**frozen, **carry[3]}
 
 
-@partial(jax.jit, static_argnames=("strategy", "config"))
 def optimize_batch(
     model: ManoModel,
     params_init: ParamDict,
@@ -1136,8 +1190,27 @@ def optimize_batch(
     constants + stage-specialized exact forwards; the shipping default) when
     config.stage_hoist_decode — adam or sgd; else the fused single-compile
     scan engine when the strategy allows (uniform step counts/filters,
-    adam); else per-stage programs.
+    adam); else per-stage programs. With config.escalate_collision > 0 the
+    whole thing runs as pass 1 of the two-pass grid escalation — host-side
+    orchestration OUTSIDE the jit boundary (refine/escalation.py): flagged
+    high-residual samples re-refine with the reference-mechanism grid
+    backend on a padded power-of-two bucket.
     """
+    if config.escalate_collision > 0.0:
+        from ihmr_tpu.refine.escalation import optimize_batch_escalated
+
+        return optimize_batch_escalated(model, params_init, batch, strategy, config)
+    return _optimize_batch_jit(model, params_init, batch, strategy, config)
+
+
+@partial(jax.jit, static_argnames=("strategy", "config"))
+def _optimize_batch_jit(
+    model: ManoModel,
+    params_init: ParamDict,
+    batch: OptBatch,
+    strategy: Tuple[Stage, ...],
+    config: OptConfig,
+) -> Tuple[ParamDict, Dict[str, jnp.ndarray]]:
     params = params_init
     if config.stage_hoist_decode:
         # adam AND sgd (round 4): the hoist math is optimizer-agnostic, so

@@ -725,3 +725,69 @@ class TestStageHoist:
         for k in out:
             assert np.isfinite(np.asarray(out[k])).all(), k
         assert not np.allclose(np.asarray(out["cam"]), np.asarray(params["cam"]))
+
+
+class TestEscalation:
+    """Two-pass grid escalation (refine/escalation.py, round 4)."""
+
+    def test_no_flag_is_identity(self, model, inputs):
+        """A threshold above every sample's residual never builds the grid
+        program and returns pass-1 results bit-identically."""
+        params, batch = inputs
+        strat = _short_strategy(4)
+        base = OptConfig(save_mid_freq=2)
+        p1, r1 = optimize_batch(model, params, batch, strat, base)
+        cfg = base.replace(escalate_collision=1e9)
+        p2, r2 = optimize_batch(model, params, batch, strat, cfg)
+        assert np.array_equal(np.asarray(r2["escalated"]), np.zeros(4, np.int32))
+        for k in p1:
+            np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p2[k]))
+        np.testing.assert_array_equal(
+            np.asarray(r1["collision_loss"]), np.asarray(r2["collision_loss"])
+        )
+
+    def test_escalation_never_worsens_and_touches_only_flagged(self, model):
+        """On the interlocked benchmark with a low threshold: per-sample
+        final exact collision <= the un-escalated run everywhere; samples
+        below the threshold are bit-untouched; escalated mask only on
+        flagged samples whose collision improved.
+
+        Deliberately tiny (2 stages, batch 2, grid fast-build knobs): the
+        grid pass voxelizes 32^3 lattices per hand per block, which is
+        minutes of CPU at the full schedule — the escalation MECHANICS are
+        what this test pins; grid-pass quality is the TPU study's job
+        (scripts/escalation_study.py)."""
+        params, batch = make_opt_inputs(model, batch=2, seed=1, interlocked=True)
+        strat = _short_strategy(4)[:2]
+        base = OptConfig(
+            save_mid_freq=2, grid_face_subsample=4, grid_num_candidates=2
+        )
+        p1, r1 = optimize_batch(model, params, batch, strat, base)
+        coll1 = np.asarray(r1["collision_loss"])
+        # flag roughly the worse half, but keep the threshold strictly
+        # positive (a zero threshold disables escalation by contract)
+        thr = max(float(np.median(coll1)), 1e-6)
+        cfg = base.replace(escalate_collision=thr)
+        p2, r2 = optimize_batch(model, params, batch, strat, cfg)
+        coll2 = np.asarray(r2["collision_loss"])
+        esc = np.asarray(r2["escalated"]).astype(bool)
+        flagged = coll1 > thr
+        assert np.all(coll2 <= coll1 + 1e-6)
+        assert esc.sum() >= 0 and np.all(~esc | flagged)
+        for k in p1:
+            a1, a2 = np.asarray(p1[k]), np.asarray(p2[k])
+            np.testing.assert_array_equal(a1[~esc], a2[~esc])
+            if esc.any():
+                # escalated samples really took the grid trajectory
+                assert not np.array_equal(a1[esc], a2[esc]) or np.allclose(
+                    coll1[esc], coll2[esc]
+                )
+
+    def test_bucket_ladder(self):
+        from ihmr_tpu.refine.escalation import _bucket_size
+
+        assert _bucket_size(1, 128) == 8
+        assert _bucket_size(8, 128) == 8
+        assert _bucket_size(9, 128) == 16
+        assert _bucket_size(100, 128) == 128
+        assert _bucket_size(3, 4) == 4
