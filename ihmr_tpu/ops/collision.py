@@ -414,6 +414,63 @@ def pair_tris_at(
     return tri_r, tri_l
 
 
+def pair_select_tris(
+    query_r: jnp.ndarray,  # (B, Vq, 3) possibly-strided right QUERY verts
+    query_l: jnp.ndarray,  # (B, Vq, 3)
+    mesh_r: jnp.ndarray,  # (B, 778, 3) FULL vertex arrays
+    mesh_l: jnp.ndarray,  # (B, 778, 3)
+    faces_right: jnp.ndarray,
+    faces_left: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused per-block payload build: nearest-face selection AND frozen
+    triangle-position materialization for both directions in one merged
+    (2B)-batch pass — (tri_r, tri_l), each (B, Vq, 3, 3) f32.
+
+    Why one call (round 4): the separate pair_indices + pair_tris_at pair
+    builds the (B, F, 3, 3) triangle array from mesh[faces] TWICE (once for
+    centroids, once for row selection) and runs every kernel once per
+    direction; traced at B=128 the rebuild is ~0.9-1.9 ms per snapshot
+    block — an amortized ~90-190 us/step floor under every hoisted stage
+    (docs/PERFORMANCE.md round-4 table). Sharing a single tri build across
+    centroid rank, argmin, and row selection, and batching both directions
+    to (2B), measured 2141 -> ~1040 us isolated (scripts/rebuild_bench.py)
+    and is exact: the rank is the same bf16 nearest-centroid formula as
+    nearest_face_indices, and the selected POSITIONS are a plain f32 row
+    gather (no one-hot-matmul precision games — XLA's dot merger folds the
+    hi+lo split back to bf16, measured in rebuild_bench.py).
+
+    IN-ENGINE this is a MEASURED NEGATIVE, kept for the record (like the
+    per-STEP direction merge before it, pair_depths_at docstring): XLA
+    already CSEs the duplicate mesh[faces] builds inside the jitted payload
+    program, so the merge only adds (2B) concat/split copies — stage_bench
+    at B=128: trans 204->238, orient 268->330, pose 378->401, shape
+    267->327 us/step. Gated off by default (opt_engine._PAYLOAD_FUSED;
+    IHMR_PAYLOAD_FUSED=1 to re-measure)."""
+    B = query_r.shape[0]
+    mr = jax.lax.stop_gradient(mesh_r)
+    ml = jax.lax.stop_gradient(mesh_l)
+    # one (2B, F, 9) triangle array: right queries scan the LEFT mesh and
+    # vice versa, so the left tris stack first
+    tri = jnp.concatenate(
+        [
+            ml[:, faces_left].reshape(B, -1, 9),
+            mr[:, faces_right].reshape(B, -1, 9),
+        ],
+        axis=0,
+    )
+    q = jax.lax.stop_gradient(jnp.concatenate([query_r, query_l], axis=0))
+    cent = (tri[..., 0:3] + tri[..., 3:6] + tri[..., 6:9]) / 3.0  # (2B, F, 3)
+    qb = q.astype(jnp.bfloat16)
+    cb = cent.astype(jnp.bfloat16)
+    rank = jnp.sum(cb * cb, axis=-1)[:, None, :] - 2.0 * jnp.einsum(
+        "bvc,bfc->bvf", qb, cb
+    )
+    idx = jnp.argmin(rank, axis=-1)  # (2B, Vq)
+    sel = jnp.take_along_axis(tri, idx[:, :, None], axis=1)  # (2B, Vq, 9) f32
+    sel = sel.reshape(2 * B, -1, 3, 3)
+    return sel[:B], sel[B:]
+
+
 def _shell_depth(dist: jnp.ndarray, inside: jnp.ndarray, margin: float) -> jnp.ndarray:
     """Penetration depth with an outward SHELL of ``margin`` mesh units:
     phi = max(0, margin - signed_dist) — margin + dist inside the mesh,
