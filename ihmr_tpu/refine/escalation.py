@@ -88,7 +88,8 @@ def optimize_batch_escalated(
 
     Returns the same (params, results) contract as optimize_batch, plus
     ``results['escalated']`` — a (B,) int32 mask of samples whose shipped
-    result came from the grid pass."""
+    result came from the grid pass. Per-sample result entries are merged;
+    scalar aggregates (e.g. ``total_loss``) remain pass-1's values."""
     from ihmr_tpu.refine.opt_engine import optimize_batch
 
     base_cfg = config.replace(escalate_collision=0.0)
