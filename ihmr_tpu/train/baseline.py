@@ -92,15 +92,17 @@ def create_state(
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    # FLATTENED Adam: the encoder is ~160 parameter tensors and per-tensor
-    # Adam lowers to ~10 tiny VPU ops each — the measured ~3700-small-op
-    # per-step tail that capped bf16 training MFU at 14-16% (docs/ROUND3.md;
-    # VERDICT round-3 weak #2). optax.flatten ravels params/grads into ONE
-    # contiguous vector so the whole Adam update is a handful of fused
-    # full-width vector ops, then unflattens the updates. Mathematically
-    # identical (Adam is elementwise). The LR hyperparam stays reachable at
-    # opt_state.hyperparams (set_learning_rate).
-    return optax.flatten(optax.inject_hyperparams(optax.adam)(learning_rate=config.lr))
+    # Per-tensor Adam. optax.flatten (ravel everything into one vector so
+    # the update is a few full-width ops) was tried TWICE against the
+    # measured ~3700-small-op per-step tail (docs/ROUND3.md) and is a
+    # confirmed MEASURED NEGATIVE on this chip: round 3 recorded no win,
+    # and the round-4 re-attempt made it strictly worse — fp32
+    # collision-off train_step 53.2 -> 74.3 ms/step (1204 -> 861 imgs/sec)
+    # with a 27-minute first-window compile (docs/ROUND4.md). The
+    # ravel/unravel of ~25M params inside the step costs more than the
+    # small-op tail it removes; XLA's scheduler already overlaps the tiny
+    # per-tensor updates with the conv backward.
+    return optax.inject_hyperparams(optax.adam)(learning_rate=config.lr)
 
 
 def learning_rate_for_epoch(config: TrainConfig, epoch: int) -> float:
