@@ -162,12 +162,14 @@ class OptConfig:
     # depth magnitude lags the other hand's motion by at most one snapshot
     # period, and every block starts ON a snapshot step, so all filter/select
     # comparisons use fully fresh positions — the same staleness contract as
-    # lazy reselection. Quality gate (round-3 16-seed PAIRED study,
-    # docs/quality_study.json): within noise of strict on every cell —
-    # standard B=128 +0.003+/-0.007, interlocked B=64 -0.23+/-0.57,
-    # interlocked B=128 +0.60+/-0.65 paired final-exact collision (the last
-    # cell is borderline-but-passing and equally noisy for the non-frozen
-    # config, +0.33+/-0.66); GT-joint error flat or better everywhere.
+    # lazy reselection. Quality gate (round-4 32-seed PAIRED study with the
+    # frozen scale included, docs/quality_study.json): the shipping default
+    # (stride-2 + lazy + freeze) is within noise of strict on EVERY cell —
+    # standard B=128 +0.007+/-0.016, interlocked B=64 +0.24+/-0.56,
+    # interlocked B=128 +0.34+/-0.34 paired final-exact collision (the
+    # round-3 borderline +0.60+/-0.65 cell tightened and passes; notably the
+    # NON-frozen stride-2 config is the one flagged worse on that cell,
+    # +0.45+/-0.43); GT-joint error flat or better everywhere.
     # Exactness: at save_mid_freq=1 this path is bit-equivalent to per-step
     # positions (tests/test_opt_engine.py::TestFrozenPositions).
     # The AABB NORMALIZATION SCALE freezes with the positions (same contract:
