@@ -239,6 +239,14 @@ def _decode_from_parts(
     # remove rest pose: per-joint affine = [R | t - R @ j_rest]
     t_rel = t - jnp.einsum("bjik,bjk->bji", R, j_rest, precision=_PREC)
     # skinning (MXU: (778,16) x (16, B*12))
+    # NOTE (round-4 negative): skinning HALF the rows (even stride, the
+    # lean pose step's true consumer set under frozen-positions stride-2
+    # collision) measured WORSE on the standalone pose program (372.8 ->
+    # 394.4 us/step at B=128 v5e, probe concat-back included) — the step is
+    # latency/dispatch-bound (FK chain of 15 sequential (B,3,3) products +
+    # small-op tail), not skinning-row-bound, so row-sliced decode plumbing
+    # does not pay. Level-parallel FK on the standalone pose program is a
+    # THIRD measured negative (372.8 -> 430.4 us/step, IHMR_FK_LEVELS=1).
     Rv = jnp.einsum("vj,bjik->bvik", model.lbs_weights, R, precision=_PREC)
     tv = jnp.einsum("vj,bji->bvi", model.lbs_weights, t_rel, precision=_PREC)
     verts = jnp.einsum("bvik,bvk->bvi", Rv, v_posed, precision=_PREC) + tv
