@@ -32,7 +32,7 @@ and depth saturation for contacts thinner than a cell.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,11 +47,19 @@ def build_penetration_grid(
     pad: float = 0.2,
     num_candidates: int = 8,
     chunk: int = 0,
+    box: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (phi grid (res, res, res), cube center (3,), cube half-extent ()).
 
     The cube is the padded isotropic AABB of the mesh (the reference grid is
-    likewise a per-hand box). Detached: voxelization takes no gradients.
+    likewise a per-hand box), or the caller's ``box=(center, half)`` — the
+    round-4 FOCUSED build places the lattice over the padded intersection of
+    the two hands' AABBs instead (pair_grids(focus=True)): phi is only ever
+    sampled at the other hand's vertices, so lattice cells outside the
+    overlap region are dead work, and the same ``res`` over the (smaller)
+    intersection box gives FINER cells than the reference's whole-hand box
+    at equal cost — or equal cells at ~8x less build work via a lower res.
+    Detached: voxelization takes no gradients.
 
     ``chunk=0`` (default) evaluates the whole res^3 lattice in ONE
     penetration_depth call — the (res^3, F) bf16 rank matrix is ~50 MB at
@@ -59,12 +67,23 @@ def build_penetration_grid(
     lets XLA pipeline the matmul/argmin instead of 8 sequential chunks
     (round-4 fast-build work for the escalation engine; chunking remains
     available for memory-constrained experiments).
+
+    ``num_candidates=1`` is the round-4 fast-build default for escalation:
+    the K-general candidate epilogue's (res^3, K) take_along gathers are
+    the BUILD's dominant cost, not the rank matmul — measured at B=32 /
+    res=32 / fsub=2 on v5e: K=8 ~405 ms, K=4 ~400 ms, K=2 ~226 ms, K=1
+    ~51 ms per block (face_subsample moves none of them). K=1 keeps the
+    exact point-triangle refinement on the argmin face; the grid's own
+    ~cell-size discretization dwarfs the rare re-labeled winner.
     """
     verts = jax.lax.stop_gradient(verts)
-    vmin = jnp.min(verts, axis=0)
-    vmax = jnp.max(verts, axis=0)
-    center = 0.5 * (vmin + vmax)
-    half = 0.5 * jnp.max(vmax - vmin) * (1.0 + pad)
+    if box is not None:
+        center, half = box
+    else:
+        vmin = jnp.min(verts, axis=0)
+        vmax = jnp.max(verts, axis=0)
+        center = 0.5 * (vmin + vmax)
+        half = 0.5 * jnp.max(vmax - vmin) * (1.0 + pad)
 
     lin = jnp.linspace(-1.0, 1.0, res)
     gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
@@ -97,7 +116,8 @@ def trilinear_sample(
     whose border is empty space). Differentiable wrt ``q``."""
     res = grid.shape[0]
     # pad with a zero shell so border clamping yields phi -> 0 outside
-    g = jnp.pad(grid, 1)
+    P = res + 2
+    g = jnp.pad(grid, 1).reshape(-1)  # flat (P^3,)
     # continuous voxel coordinates in the PADDED grid
     u = (q - center[None, :]) / (2.0 * half) + 0.5  # [0,1] inside the cube
     x = u * (res - 1) + 1.0  # padded-grid coords
@@ -105,19 +125,24 @@ def trilinear_sample(
     x0 = jnp.floor(x)
     f = x - x0
     i0 = x0.astype(jnp.int32)
-    i1 = i0 + 1
 
-    def at(ix, iy, iz):
-        return g[ix, iy, iz]
+    # FLAT one-axis gathers at 8 static corner offsets instead of 8
+    # triple-advanced-index gathers of the 3-D grid: the latter lower (under
+    # the batch vmap) to multi-dim scalar gathers that dominated the in-loop
+    # grid step; the flat base+offset form is the cheap TPU lowering.
+    base = (i0[:, 0] * P + i0[:, 1]) * P + i0[:, 2]  # (V,)
 
-    c000 = at(i0[:, 0], i0[:, 1], i0[:, 2])
-    c100 = at(i1[:, 0], i0[:, 1], i0[:, 2])
-    c010 = at(i0[:, 0], i1[:, 1], i0[:, 2])
-    c110 = at(i1[:, 0], i1[:, 1], i0[:, 2])
-    c001 = at(i0[:, 0], i0[:, 1], i1[:, 2])
-    c101 = at(i1[:, 0], i0[:, 1], i1[:, 2])
-    c011 = at(i0[:, 0], i1[:, 1], i1[:, 2])
-    c111 = at(i1[:, 0], i1[:, 1], i1[:, 2])
+    def at(dx, dy, dz):
+        return jnp.take(g, base + ((dx * P + dy) * P + dz), axis=0)
+
+    c000 = at(0, 0, 0)
+    c100 = at(1, 0, 0)
+    c010 = at(0, 1, 0)
+    c110 = at(1, 1, 0)
+    c001 = at(0, 0, 1)
+    c101 = at(1, 0, 1)
+    c011 = at(0, 1, 1)
+    c111 = at(1, 1, 1)
 
     fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
     c00 = c000 * (1 - fx) + c100 * fx
@@ -129,6 +154,33 @@ def trilinear_sample(
     return c0 * (1 - fz) + c1 * fz
 
 
+def _focus_box(
+    mesh_self: jnp.ndarray,  # (Vm, 3) the hand being voxelized
+    mesh_other: jnp.ndarray,  # (Vm, 3) the hand whose verts will sample phi
+    pad: float = 0.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Padded isotropic cube over the INTERSECTION of the two hands' AABBs.
+
+    phi is only sampled at the other hand's vertices; a vertex penetrating
+    this hand lies inside BOTH hands' boxes, so the intersection covers
+    every query that can read nonzero phi. Non-overlapping boxes yield a
+    (floored) tiny cube at the midgap — its field is ~0 and so is the true
+    phi at every query, consistent by construction."""
+    mesh_self = jax.lax.stop_gradient(mesh_self)
+    mesh_other = jax.lax.stop_gradient(mesh_other)
+    lo_s, hi_s = jnp.min(mesh_self, axis=0), jnp.max(mesh_self, axis=0)
+    lo_o, hi_o = jnp.min(mesh_other, axis=0), jnp.max(mesh_other, axis=0)
+    lo = jnp.maximum(lo_s, lo_o)
+    hi = jnp.minimum(hi_s, hi_o)
+    center = 0.5 * (lo + hi)
+    # max over axes of the (possibly negative) intersection widths; floor at
+    # 2% of the self-hand extent so the cube never degenerates
+    width = jnp.max(hi - lo)
+    floor = 0.02 * jnp.max(hi_s - lo_s)
+    half = 0.5 * jnp.maximum(width, floor) * (1.0 + pad)
+    return center, half
+
+
 def pair_grids(
     mesh_r: jnp.ndarray,  # (B, 778, 3)
     mesh_l: jnp.ndarray,  # (B, 778, 3)
@@ -137,6 +189,7 @@ def pair_grids(
     res: int = 32,
     num_candidates: int = 8,
     face_subsample: int = 1,
+    focus: bool = False,
 ):
     """Batched per-hand grids for both directions:
     ((grid_l, c_l, h_l), (grid_r, c_r, h_r)) — grid_l is sampled by RIGHT
@@ -147,16 +200,33 @@ def pair_grids(
     contract as the in-loop nearest-face knob): the grid is a ~cell-size
     smoothing mechanism already, so a stride-2 surface costs half the rank
     arithmetic of the build — the escalation engine's fast-build knob,
-    quality-measured by scripts/grid_fast_study.py."""
+    quality-measured by scripts/grid_fast_study.py.
+
+    ``focus=True`` (round 4) places each lattice over the padded
+    INTERSECTION of the two hands' AABBs instead of the whole voxelized
+    hand (_focus_box): same res -> finer cells exactly where phi is read;
+    the reference's whole-hand box spends most of its 32^3 cells where no
+    query ever lands."""
     if face_subsample > 1:
         faces_right = faces_right[::face_subsample]
         faces_left = faces_left[::face_subsample]
+    if focus:
+        box_l = jax.vmap(_focus_box)(mesh_l, mesh_r)
+        box_r = jax.vmap(_focus_box)(mesh_r, mesh_l)
+    else:
+        box_l = box_r = None
     build_l = jax.vmap(
-        lambda m: build_penetration_grid(m, faces_left, res, num_candidates=num_candidates)
+        lambda m, *b: build_penetration_grid(
+            m, faces_left, res, num_candidates=num_candidates, box=b or None
+        )
     )
     build_r = jax.vmap(
-        lambda m: build_penetration_grid(m, faces_right, res, num_candidates=num_candidates)
+        lambda m, *b: build_penetration_grid(
+            m, faces_right, res, num_candidates=num_candidates, box=b or None
+        )
     )
+    if focus:
+        return build_l(mesh_l, *box_l), build_r(mesh_r, *box_r)
     return build_l(mesh_l), build_r(mesh_r)
 
 

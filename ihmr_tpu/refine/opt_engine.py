@@ -212,6 +212,18 @@ class OptConfig:
     grid_face_subsample: int = flax.struct.field(pytree_node=False, default=1)
     grid_num_candidates: int = flax.struct.field(pytree_node=False, default=0)
 
+    # Round-4 grid fast-build knobs (measured at B=32 on v5e): the build's
+    # cost is its K-candidate take_along epilogue, not the rank matmul —
+    # K=8 ~405 ms/block vs K=1 ~51 ms (grid_num_candidates=1 keeps the
+    # exact refinement on the argmin face). grid_focus=True voxelizes the
+    # padded INTERSECTION of the two hands' AABBs instead of the whole hand
+    # (ops/grid_sdf.py::_focus_box): phi is only sampled at the other
+    # hand's vertices, so the same grid_res lands finer cells exactly where
+    # the field is read. grid_res trades lattice size for cell size
+    # (res^3 points per hand per block).
+    grid_res: int = flax.struct.field(pytree_node=False, default=32)
+    grid_focus: bool = flax.struct.field(pytree_node=False, default=False)
+
     def lazy_active(self) -> bool:
         """Whether the fused engine may freeze nearest-face selections.
 
@@ -675,8 +687,10 @@ def _lazy_coll_payload(
                 lv,
                 model.faces,
                 model.faces[:, ::-1],
+                res=config.grid_res,
                 num_candidates=config.grid_num_candidates or config.num_candidates,
                 face_subsample=config.grid_face_subsample,
+                focus=config.grid_focus,
             ),
         )
     sub = config.loop_collision_subsample

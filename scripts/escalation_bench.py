@@ -41,8 +41,11 @@ def main():
         for name, kw in (
             ("base", {}),
             ("esc0.5", dict(escalate_collision=0.5)),
+            # round-4 fast-build profile: K=1 (the K-gather epilogue was
+            # ~90% of the build) + focused intersection-box lattice (finer
+            # cells where phi is read) + stride-2 surface
             ("esc_fast", dict(escalate_collision=0.5, grid_face_subsample=2,
-                              grid_num_candidates=4)),
+                              grid_num_candidates=1, grid_focus=True)),
         ):
             cfg = OptConfig(save_mid_freq=10, **kw)
             t0 = time.perf_counter()

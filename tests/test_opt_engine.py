@@ -371,15 +371,20 @@ class TestOptimizeBatch:
         assert np.isfinite(np.asarray(results["pred_joints_3d"])).all()
 
     def test_jit_cache(self, model):
-        """Second batch with same shapes must not retrace."""
+        """Second batch with same shapes must not retrace.
+
+        The cache lives on _optimize_batch_jit since the round-4 escalation
+        refactor made optimize_batch a plain dispatcher."""
+        from ihmr_tpu.refine.opt_engine import _optimize_batch_jit
+
         cfg = OptConfig(save_mid_freq=2)
         strategy = _short_strategy(epochs=4)
         p1, b1 = make_opt_inputs(model, batch=2, seed=3)
         p2, b2 = make_opt_inputs(model, batch=2, seed=4)
         optimize_batch(model, p1, b1, strategy, cfg)
-        n_before = optimize_batch._cache_size()
+        n_before = _optimize_batch_jit._cache_size()
         optimize_batch(model, p2, b2, strategy, cfg)
-        assert optimize_batch._cache_size() == n_before
+        assert _optimize_batch_jit._cache_size() == n_before
 
 
 class TestFrozenPositions:
