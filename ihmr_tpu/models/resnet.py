@@ -16,9 +16,96 @@ from functools import partial
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from flax.linen import module as flax_module
+from flax.linen import normalization as flax_norm
 
 ModuleDef = Any
+
+
+class FusedStatsBatchNorm(nn.BatchNorm):
+    """BatchNorm whose batch statistics come from ONE variadic reduce.
+
+    flax's fast-variance path issues TWO separate convert+reduce kernels per
+    norm layer — ``mean(x)`` and ``mean(x*x)`` — each re-reading the full
+    activation from HBM. On the round-4 v5e trace of the bf16 train step
+    (scripts/trace_train.py, batch 256) those convert_reduce fusions were
+    102 kernels and 50.3 of the 98.5 ms/step device-busy time: HALF the
+    training step was BatchNorm statistics. A single variadic
+    ``lax.reduce((x32, x32*x32))`` computes both sums in one kernel with one
+    read of the activation (the convert and the square fuse into the
+    reduce's operand read), with fp32 accumulation and the same fast
+    variance formula ``max(0, E[x^2] - E[x]^2)`` — numerically the mean is
+    bit-identical and the variance within 1 ulp of flax's (reduction tree
+    order may differ).
+
+    Falls back to the stock flax path when ``axis_name`` /
+    ``axis_index_groups`` / ``mask`` are used (cross-device stat sync) —
+    this repo's DP training keeps per-device stats, matching the reference's
+    torch DDP BatchNorm (ref src/train_baseline.py DistributedDataParallel).
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None, *, mask=None):
+        if self.axis_name is not None or self.axis_index_groups is not None or mask is not None:
+            return super().__call__(x, use_running_average, mask=mask)
+
+        use_running_average = flax_module.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = flax_norm._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stats_dtype = jnp.float32 if self.force_float32_reductions else self.param_dtype
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, stats_dtype), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, stats_dtype), feature_shape
+        )
+
+        if use_running_average:
+            mean = ra_mean.value if self.force_float32_reductions else jnp.asarray(ra_mean.value, self.param_dtype)
+            var = ra_var.value if self.force_float32_reductions else jnp.asarray(ra_var.value, self.param_dtype)
+        else:
+            acc_dtype = jnp.result_type(x) if self.dtype is None else self.dtype
+            if self.force_float32_reductions:
+                acc_dtype = jnp.promote_types(acc_dtype, jnp.float32)
+            xf = x.astype(acc_dtype)
+            s, s2 = jax.lax.reduce(
+                (xf, xf * xf),
+                (jnp.zeros((), acc_dtype), jnp.zeros((), acc_dtype)),
+                lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                reduction_axes,
+            )
+            n = 1
+            for ax in reduction_axes:
+                n *= x.shape[ax]
+            mean = s / n
+            var = jnp.maximum(0.0, s2 / n - mean * mean)
+
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        return flax_norm._normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
 
 
 class BasicBlock(nn.Module):
@@ -88,9 +175,12 @@ class ResNet(nn.Module):
         # OUTPUT to fp32 as well was measured 10% slower (bf16<->fp32
         # convert+reduce fusions at every conv/BN boundary dominated the
         # round-3 trace, scripts/trace_train.py) for no accuracy gain. The
-        # 1024-d feature is returned in fp32 either way.
+        # 1024-d feature is returned in fp32 either way. Round 4: batch
+        # statistics come from FusedStatsBatchNorm's single variadic reduce
+        # (one kernel / one activation read per norm layer instead of two —
+        # the convert+reduce pair was HALF the train step's device time).
         norm = partial(
-            nn.BatchNorm,
+            FusedStatsBatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
