@@ -46,6 +46,120 @@ class TestEncoder:
         np.testing.assert_allclose(mean[119:], 0.0)  # trans
 
 
+class TestFusedStatsBatchNorm:
+    """The single-variadic-reduce BN must match stock flax BatchNorm.
+
+    FusedStatsBatchNorm (models/resnet.py) replaces flax's two
+    convert+reduce stat kernels with one variadic ``lax.reduce``; the mean
+    is the same sum-then-divide and the variance uses flax's fast formula
+    ``max(0, E[x^2] - E[x]^2)``, so outputs, running stats, and gradients
+    must agree with ``nn.BatchNorm`` to reduction-order tolerance.
+    """
+
+    def _pair(self, dtype, param_dtype):
+        import flax.linen as nn
+
+        from ihmr_tpu.models.resnet import FusedStatsBatchNorm
+
+        kw = dict(
+            use_running_average=False,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+        return nn.BatchNorm(**kw), FusedStatsBatchNorm(**kw)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_train_mode_matches_stock(self, dtype):
+        ref, fused = self._pair(dtype, jnp.float32)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(4, 8, 8, 16).astype(np.float32) * 3 + 1
+        ).astype(dtype)
+        v_ref = ref.init(jax.random.PRNGKey(0), x)
+        v_fused = fused.init(jax.random.PRNGKey(0), x)
+        y_ref, m_ref = ref.apply(v_ref, x, mutable=["batch_stats"])
+        y_fused, m_fused = fused.apply(v_fused, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(y_ref, np.float32), np.asarray(y_fused, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(m_ref["batch_stats"][k]),
+                np.asarray(m_fused["batch_stats"][k]),
+                rtol=1e-6, atol=1e-6,
+            )
+
+    def test_eval_mode_matches_stock(self):
+        import flax.linen as nn
+
+        from ihmr_tpu.models.resnet import FusedStatsBatchNorm
+
+        kw = dict(momentum=0.9, epsilon=1e-5)
+        ref, fused = nn.BatchNorm(**kw), FusedStatsBatchNorm(**kw)
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 4, 4, 8).astype(np.float32))
+        v = ref.init(jax.random.PRNGKey(0), x, use_running_average=True)
+        # seed non-trivial running stats so eval mode actually reads them
+        v = jax.tree_util.tree_map(lambda a: a + 0.25, v)
+        y_ref = ref.apply(v, x, use_running_average=True)
+        y_fused = fused.apply(v, x, use_running_average=True)
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused), rtol=1e-6)
+
+    def test_gradients_match_stock(self):
+        ref, fused = self._pair(jnp.float32, jnp.float32)
+        x = jnp.asarray(np.random.RandomState(2).randn(4, 4, 4, 8).astype(np.float32))
+        v = ref.init(jax.random.PRNGKey(0), x)
+
+        def loss(mod):
+            def f(params, xx):
+                y, _ = mod.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    xx,
+                    mutable=["batch_stats"],
+                )
+                return jnp.sum(y * y)
+
+            return jax.grad(f, argnums=(0, 1))(v["params"], x)
+
+        g_ref, gx_ref = loss(ref)
+        g_fused, gx_fused = loss(fused)
+        np.testing.assert_allclose(np.asarray(gx_ref), np.asarray(gx_fused), rtol=1e-4, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            g_ref,
+            g_fused,
+        )
+
+    def test_axis_name_falls_back_to_stock(self):
+        """Cross-device stat sync must route through flax's own path."""
+        import flax.linen as nn
+
+        from ihmr_tpu.models.resnet import FusedStatsBatchNorm
+
+        kw = dict(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                  axis_name="batch")
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 4, 4, 8).astype(np.float32))
+
+        def run(mod_cls):
+            mod = mod_cls(**kw)
+
+            def inner(xx):
+                v = mod.init(jax.random.PRNGKey(0), xx)
+                y, _ = mod.apply(v, xx, mutable=["batch_stats"])
+                return y
+
+            return jax.vmap(inner, axis_name="batch")(x[:, None])
+
+        np.testing.assert_allclose(
+            np.asarray(run(nn.BatchNorm)),
+            np.asarray(run(FusedStatsBatchNorm)),
+            rtol=1e-6,
+        )
+
+
 class TestSubNetwork:
     def test_residual_starts_small(self):
         net = SubNetwork(update_dim=6)
