@@ -131,6 +131,10 @@ def main():
         kw["loop_collision_freeze_positions"] = FREEZE == "1"
     if HOIST is not None:
         kw["stage_hoist_decode"] = HOIST == "1"
+    # payload-rebuild decoupling (round 5, OptConfig.reselect_every_blocks):
+    # rebuild the block-frozen selection/positions every k snapshot blocks
+    if os.environ.get("IHMR_BENCH_RESELECT_K"):
+        kw["reselect_every_blocks"] = int(os.environ["IHMR_BENCH_RESELECT_K"])
     config = OptConfig(save_mid_freq=10, loop_collision_subsample=SUBSAMPLE, **kw)
 
     # the whole pipeline — encoder inference + full refinement — is ONE

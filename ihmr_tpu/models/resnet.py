@@ -12,6 +12,7 @@ ihmr_tpu/train/checkpoint.py.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Sequence, Tuple
 
@@ -23,32 +24,57 @@ from flax.linen import normalization as flax_norm
 
 ModuleDef = Any
 
+# Trace-time A/B switch for the fused-stats BatchNorm. DEFAULT OFF after
+# the round-5 chip measurement: FusedStatsBatchNorm's variadic lax.reduce
+# does NOT reach XLA:TPU's fast reduction emitter — the full bf16 train
+# step measured 122.6 ms/step vs 28.4 with stock nn.BatchNorm at batch 64
+# (fp32: 151.8 vs 52.8), a 3-4x REGRESSION despite issuing half the stat
+# kernels. The class and its equivalence tests are kept as a documented
+# negative result (like the round-4 flattened-Adam experiment); set
+# IHMR_FUSED_BN=1 to re-measure. Read at TRACE time like IHMR_FK_LEVELS —
+# flipping it mid-process does not recompile already-jitted programs.
+_FUSED_BN = os.environ.get("IHMR_FUSED_BN", "0") == "1"
+
 
 class FusedStatsBatchNorm(nn.BatchNorm):
     """BatchNorm whose batch statistics come from ONE variadic reduce.
 
-    flax's fast-variance path issues TWO separate convert+reduce kernels per
-    norm layer — ``mean(x)`` and ``mean(x*x)`` — each re-reading the full
-    activation from HBM. On the round-4 v5e trace of the bf16 train step
-    (scripts/trace_train.py, batch 256) those convert_reduce fusions were
-    102 kernels and 50.3 of the 98.5 ms/step device-busy time: HALF the
-    training step was BatchNorm statistics. A single variadic
-    ``lax.reduce((x32, x32*x32))`` computes both sums in one kernel with one
-    read of the activation (the convert and the square fuse into the
-    reduce's operand read), with fp32 accumulation and the same fast
-    variance formula ``max(0, E[x^2] - E[x]^2)`` — numerically the mean is
-    bit-identical and the variance within 1 ulp of flax's (reduction tree
-    order may differ).
+    **Round-5 verdict: measured NEGATIVE on the chip — not used by default**
+    (see the ``_FUSED_BN`` switch below). The hypothesis: flax's
+    fast-variance path issues TWO separate convert+reduce kernels per norm
+    layer — ``mean(x)`` and ``mean(x*x)`` — each re-reading the full
+    activation from HBM (the round-4 v5e trace of the bf16 train step at
+    batch 256 showed those convert_reduce fusions as 102 kernels and 50.3
+    of the 98.5 ms/step device-busy time), so one variadic
+    ``lax.reduce((x32, x32*x32))`` halving the reads should cut the step.
+    The round-5 measurement says otherwise: XLA:TPU lowers the variadic
+    tuple reduce OUTSIDE its optimized single-output reduction emitter, and
+    the full train step REGRESSED 28.4 -> 122.6 ms/step bf16 (52.8 -> 151.8
+    fp32) at batch 64. Numerically the class is correct (mean bit-identical,
+    variance within reduction-order tolerance of flax's fast formula;
+    equivalence suite in tests/test_models.py) — it is kept, like the
+    flattened-Adam experiment, as a re-measurable negative result.
 
     Falls back to the stock flax path when ``axis_name`` /
-    ``axis_index_groups`` / ``mask`` are used (cross-device stat sync) —
-    this repo's DP training keeps per-device stats, matching the reference's
-    torch DDP BatchNorm (ref src/train_baseline.py DistributedDataParallel).
+    ``axis_index_groups`` / ``mask`` are used (cross-device stat sync) or
+    ``use_fast_variance=False`` (different variance formula) — this repo's
+    DP training keeps per-device stats, matching the reference's torch DDP
+    BatchNorm (ref src/train_baseline.py DistributedDataParallel).
     """
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None, *, mask=None):
-        if self.axis_name is not None or self.axis_index_groups is not None or mask is not None:
+        # Stock-path fallback: cross-device stat sync (axis_name /
+        # axis_index_groups), masked stats, or the non-fast variance formula
+        # (use_fast_variance=False switches flax to E[(x-mean)^2], which the
+        # fused single-pass reduce does not compute) all route through
+        # flax's own implementation unchanged.
+        if (
+            self.axis_name is not None
+            or self.axis_index_groups is not None
+            or mask is not None
+            or not self.use_fast_variance
+        ):
             return super().__call__(x, use_running_average, mask=mask)
 
         use_running_average = flax_module.merge_param(
@@ -175,12 +201,12 @@ class ResNet(nn.Module):
         # OUTPUT to fp32 as well was measured 10% slower (bf16<->fp32
         # convert+reduce fusions at every conv/BN boundary dominated the
         # round-3 trace, scripts/trace_train.py) for no accuracy gain. The
-        # 1024-d feature is returned in fp32 either way. Round 4: batch
-        # statistics come from FusedStatsBatchNorm's single variadic reduce
-        # (one kernel / one activation read per norm layer instead of two —
-        # the convert+reduce pair was HALF the train step's device time).
+        # 1024-d feature is returned in fp32 either way. Round 5: stock
+        # nn.BatchNorm by default — the FusedStatsBatchNorm variadic-reduce
+        # experiment measured 3-4x SLOWER end-to-end on the chip (see
+        # _FUSED_BN above); IHMR_FUSED_BN=1 re-selects it.
         norm = partial(
-            FusedStatsBatchNorm,
+            FusedStatsBatchNorm if _FUSED_BN else nn.BatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

@@ -74,6 +74,19 @@ def grid_config(config):
         loop_collision_face_subsample=1,
         loop_collision_alternate=False,
         escalate_collision=0.0,
+        escalate_warm_start=0.0,
+    )
+
+
+def warm_strategy(strategy: Tuple[Stage, ...], frac: float) -> Tuple[Stage, ...]:
+    """The shortened pass-2 schedule for warm starts: every stage's step
+    count scaled by ``frac`` (floor 1 epoch — a stage never vanishes, so the
+    running-best filter/select guard still runs per stage)."""
+    import dataclasses
+
+    return tuple(
+        dataclasses.replace(s, epoch=max(1, int(round(s.epoch * frac))))
+        for s in strategy
     )
 
 
@@ -112,8 +125,14 @@ def optimize_batch_escalated(
     idx = idx[:bucket]
 
     take = lambda t: jax.tree_util.tree_map(lambda x: x[idx], t)
+    # warm start (config.escalate_warm_start > 0): pass 2 polishes pass-1's
+    # fitted params with a fraction-length grid schedule instead of
+    # re-running the whole schedule from the initial params
+    warm = float(config.escalate_warm_start)
+    init2 = take(params1) if warm > 0.0 else take(params_init)
+    strategy2 = warm_strategy(strategy, warm) if warm > 0.0 else strategy
     params2, results2 = optimize_batch(
-        model, take(params_init), take(batch), strategy, grid_config(config)
+        model, init2, take(batch), strategy2, grid_config(config)
     )
 
     coll2 = np.asarray(results2["collision_loss"])[:k]

@@ -38,14 +38,23 @@ def main():
         )
         params = jax.device_put(params, dev)
         batch = jax.device_put(batch, dev)
+        fast = dict(escalate_collision=0.5, grid_face_subsample=2,
+                    grid_num_candidates=1, grid_focus=True)
         for name, kw in (
             ("base", {}),
-            ("esc0.5", dict(escalate_collision=0.5)),
             # round-4 fast-build profile: K=1 (the K-gather epilogue was
             # ~90% of the build) + focused intersection-box lattice (finer
             # cells where phi is read) + stride-2 surface
-            ("esc_fast", dict(escalate_collision=0.5, grid_face_subsample=2,
-                              grid_num_candidates=1, grid_focus=True)),
+            ("esc_fast", dict(fast)),
+            # round-5 levers (VERDICT r4 item 2): coarser focused lattice,
+            # grid rebuild every k snapshot blocks, warm-started short
+            # pass 2, and the combination
+            ("esc_r16", dict(fast, grid_res=16)),
+            ("esc_r24", dict(fast, grid_res=24)),
+            ("esc_k4", dict(fast, reselect_every_blocks=4)),
+            ("esc_warm", dict(fast, escalate_warm_start=0.5)),
+            ("esc_all", dict(fast, grid_res=24, reselect_every_blocks=4,
+                             escalate_warm_start=0.5)),
         ):
             cfg = OptConfig(save_mid_freq=10, **kw)
             t0 = time.perf_counter()

@@ -796,3 +796,113 @@ class TestEscalation:
         assert _bucket_size(9, 128) == 16
         assert _bucket_size(100, 128) == 128
         assert _bucket_size(3, 4) == 4
+
+    def test_warm_start_never_worsens_and_touches_only_flagged(self, model):
+        """escalate_warm_start > 0 (round 5): pass 2 polishes pass-1's
+        OUTPUT with a fraction-length grid schedule. Same contract as the
+        from-init restart: per-sample final exact collision never worse,
+        un-flagged samples bit-untouched."""
+        params, batch = make_opt_inputs(model, batch=2, seed=1, interlocked=True)
+        strat = _short_strategy(4)[:2]
+        base = OptConfig(
+            save_mid_freq=2, grid_face_subsample=4, grid_num_candidates=2,
+            grid_res=8, grid_focus=True,
+        )
+        p1, r1 = optimize_batch(model, params, batch, strat, base)
+        coll1 = np.asarray(r1["collision_loss"])
+        thr = max(float(np.median(coll1)), 1e-6)
+        cfg = base.replace(escalate_collision=thr, escalate_warm_start=0.5)
+        p2, r2 = optimize_batch(model, params, batch, strat, cfg)
+        coll2 = np.asarray(r2["collision_loss"])
+        esc = np.asarray(r2["escalated"]).astype(bool)
+        flagged = coll1 > thr
+        assert np.all(coll2 <= coll1 + 1e-6)
+        assert np.all(~esc | flagged)
+        for k in p1:
+            np.testing.assert_array_equal(np.asarray(p1[k])[~esc], np.asarray(p2[k])[~esc])
+
+    def test_warm_strategy_scaling(self):
+        from ihmr_tpu.refine.escalation import warm_strategy
+
+        short = warm_strategy(opt_default, 0.5)
+        assert tuple(s.epoch for s in short) == tuple(
+            max(1, int(round(s.epoch * 0.5))) for s in opt_default
+        )
+        floor = warm_strategy(_short_strategy(1), 0.1)
+        assert all(s.epoch == 1 for s in floor)
+        # everything but the step count is preserved
+        assert all(
+            (a.update_params, a.loss_weights, a.lr, a.filter_loss, a.select_loss)
+            == (b.update_params, b.loss_weights, b.lr, b.filter_loss, b.select_loss)
+            for a, b in zip(short, opt_default)
+        )
+
+
+class TestReselectEveryBlocks:
+    """Payload-rebuild decoupling (OptConfig.reselect_every_blocks, round 5)."""
+
+    def test_single_block_identity(self, model, inputs):
+        """Schedules that fit in one snapshot block rebuild the payload once
+        either way: kre>1 must be bit-identical to kre=1."""
+        params, batch = inputs
+        strat = _short_strategy(3)  # 4 steps/stage < save_mid_freq
+        p1, _ = optimize_batch(model, params, batch, strat, OptConfig(save_mid_freq=5))
+        p2, _ = optimize_batch(
+            model, params, batch, strat,
+            OptConfig(save_mid_freq=5, reselect_every_blocks=3),
+        )
+        for k in p1:
+            np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p2[k]))
+
+    def test_collision_free_identity(self, model, inputs):
+        """With collision weight 0 in every stage there is no payload; kre
+        must be a no-op (the engine forces kre=1 when un-blocked)."""
+        params, batch = inputs
+        no_coll = tuple(
+            dataclasses.replace(
+                s,
+                epoch=6,
+                loss_weights=tuple(
+                    (n, 0.0 if n == "collision_loss_weight" else w)
+                    for n, w in s.loss_weights
+                ),
+            )
+            for s in opt_default
+        )
+        p1, _ = optimize_batch(model, params, batch, no_coll, OptConfig(save_mid_freq=2))
+        p2, _ = optimize_batch(
+            model, params, batch, no_coll,
+            OptConfig(save_mid_freq=2, reselect_every_blocks=4),
+        )
+        for k in p1:
+            np.testing.assert_array_equal(np.asarray(p1[k]), np.asarray(p2[k]))
+
+    def test_hoisted_matches_fused_at_k2(self, model, inputs):
+        """The hoisted and fused engines implement superblocks independently;
+        at kre=2 they must produce the same trajectory (hoist is exact)."""
+        params, batch = inputs
+        strat = _short_strategy(8)
+        cfg = OptConfig(save_mid_freq=3, reselect_every_blocks=2)
+        ph, rh = optimize_batch(model, params, batch, strat, cfg)
+        pf, rf = optimize_batch(
+            model, params, batch, strat, cfg.replace(stage_hoist_decode=False)
+        )
+        for k in ph:
+            np.testing.assert_allclose(
+                np.asarray(ph[k]), np.asarray(pf[k]), rtol=2e-4, atol=2e-5
+            )
+
+    def test_k2_differs_from_k1_when_multi_block(self, model, inputs):
+        """Sanity that the knob is live: with collision in the loop and
+        multiple blocks per superblock, trajectories should differ (staler
+        payload) — guards against the knob silently not wiring through."""
+        params, batch = inputs
+        strat = _short_strategy(12)
+        p1, _ = optimize_batch(model, params, batch, strat, OptConfig(save_mid_freq=4))
+        p2, _ = optimize_batch(
+            model, params, batch, strat,
+            OptConfig(save_mid_freq=4, reselect_every_blocks=2),
+        )
+        assert any(
+            not np.array_equal(np.asarray(p1[k]), np.asarray(p2[k])) for k in p1
+        )
