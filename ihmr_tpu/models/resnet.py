@@ -24,16 +24,20 @@ from flax.linen import normalization as flax_norm
 
 ModuleDef = Any
 
-# Trace-time A/B switch for the fused-stats BatchNorm. DEFAULT OFF after
-# the round-5 chip measurement: FusedStatsBatchNorm's variadic lax.reduce
-# does NOT reach XLA:TPU's fast reduction emitter — the full bf16 train
-# step measured 122.6 ms/step vs 28.4 with stock nn.BatchNorm at batch 64
-# (fp32: 151.8 vs 52.8), a 3-4x REGRESSION despite issuing half the stat
-# kernels. The class and its equivalence tests are kept as a documented
-# negative result (like the round-4 flattened-Adam experiment); set
-# IHMR_FUSED_BN=1 to re-measure. Read at TRACE time like IHMR_FK_LEVELS —
-# flipping it mid-process does not recompile already-jitted programs.
-_FUSED_BN = os.environ.get("IHMR_FUSED_BN", "0") == "1"
+# Trace-time switch for the BatchNorm statistics implementation
+# (IHMR_BN_IMPL = stock | fused | pallas; legacy IHMR_FUSED_BN=1 == fused).
+# DEFAULT: stock flax nn.BatchNorm, after the round-5 chip measurements:
+#   * fused (FusedStatsBatchNorm, variadic lax.reduce): 3-4x end-to-end
+#     REGRESSION — bf16 28.4 -> 122.6 ms/step at batch 64 (fp32 52.8 ->
+#     151.8); XLA:TPU lowers tuple reduces outside its fast reduction
+#     emitter. Kept as a re-measurable negative result.
+#   * pallas (PallasStatsBatchNorm, single-pass Pallas accumulation):
+#     measured by scripts/train_bench.py with IHMR_BN_IMPL=pallas.
+# Read at TRACE time like IHMR_FK_LEVELS — flipping it mid-process does
+# not recompile already-jitted programs.
+_BN_IMPL = os.environ.get(
+    "IHMR_BN_IMPL", "fused" if os.environ.get("IHMR_FUSED_BN") == "1" else "stock"
+)
 
 
 class FusedStatsBatchNorm(nn.BatchNorm):
@@ -61,6 +65,22 @@ class FusedStatsBatchNorm(nn.BatchNorm):
     DP training keeps per-device stats, matching the reference's torch DDP
     BatchNorm (ref src/train_baseline.py DistributedDataParallel).
     """
+
+    def _batch_moments(self, x, reduction_axes, acc_dtype):
+        """(mean, var) in acc_dtype via ONE variadic reduce (one read)."""
+        xf = x.astype(acc_dtype)
+        s, s2 = jax.lax.reduce(
+            (xf, xf * xf),
+            (jnp.zeros((), acc_dtype), jnp.zeros((), acc_dtype)),
+            lambda a, b: (a[0] + b[0], a[1] + b[1]),
+            reduction_axes,
+        )
+        n = 1
+        for ax in reduction_axes:
+            n *= x.shape[ax]
+        mean = s / n
+        var = jnp.maximum(0.0, s2 / n - mean * mean)
+        return mean, var
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None, *, mask=None):
@@ -99,18 +119,7 @@ class FusedStatsBatchNorm(nn.BatchNorm):
             acc_dtype = jnp.result_type(x) if self.dtype is None else self.dtype
             if self.force_float32_reductions:
                 acc_dtype = jnp.promote_types(acc_dtype, jnp.float32)
-            xf = x.astype(acc_dtype)
-            s, s2 = jax.lax.reduce(
-                (xf, xf * xf),
-                (jnp.zeros((), acc_dtype), jnp.zeros((), acc_dtype)),
-                lambda a, b: (a[0] + b[0], a[1] + b[1]),
-                reduction_axes,
-            )
-            n = 1
-            for ax in reduction_axes:
-                n *= x.shape[ax]
-            mean = s / n
-            var = jnp.maximum(0.0, s2 / n - mean * mean)
+            mean, var = self._batch_moments(x, reduction_axes, acc_dtype)
 
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -132,6 +141,27 @@ class FusedStatsBatchNorm(nn.BatchNorm):
             self.scale_init,
             self.force_float32_reductions,
         )
+
+
+class PallasStatsBatchNorm(FusedStatsBatchNorm):
+    """BatchNorm whose batch statistics come from ONE Pallas kernel pass.
+
+    The round-5 TPU-correct retry of the single-read idea that
+    FusedStatsBatchNorm measured as a variadic-reduce regression: a Pallas
+    kernel (ops/pallas_bn.py) streams the activation once and accumulates
+    per-channel fp32 sum / sum-of-squares across sequential grid steps;
+    backward is the closed-form elementwise custom_vjp. Identical fallback
+    contract and fast-variance formula as FusedStatsBatchNorm; selected via
+    IHMR_BN_IMPL=pallas (see _BN_IMPL below).
+    """
+
+    def _batch_moments(self, x, reduction_axes, acc_dtype):
+        trailing = tuple(range(x.ndim - 1))
+        if reduction_axes != trailing or acc_dtype != jnp.float32:
+            return super()._batch_moments(x, reduction_axes, acc_dtype)
+        from ihmr_tpu.ops.pallas_bn import batch_moments
+
+        return batch_moments(x)
 
 
 class BasicBlock(nn.Module):
@@ -203,10 +233,13 @@ class ResNet(nn.Module):
         # round-3 trace, scripts/trace_train.py) for no accuracy gain. The
         # 1024-d feature is returned in fp32 either way. Round 5: stock
         # nn.BatchNorm by default — the FusedStatsBatchNorm variadic-reduce
-        # experiment measured 3-4x SLOWER end-to-end on the chip (see
-        # _FUSED_BN above); IHMR_FUSED_BN=1 re-selects it.
+        # experiment measured 3-4x SLOWER end-to-end on the chip; the
+        # Pallas single-pass variant is selectable for measurement (see
+        # _BN_IMPL above).
         norm = partial(
-            FusedStatsBatchNorm if _FUSED_BN else nn.BatchNorm,
+            {"fused": FusedStatsBatchNorm, "pallas": PallasStatsBatchNorm}.get(
+                _BN_IMPL, nn.BatchNorm
+            ),
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

@@ -250,6 +250,90 @@ class TestFusedStatsBatchNorm:
         )
 
 
+class TestPallasStatsBatchNorm:
+    """The single-pass Pallas BN stats (ops/pallas_bn.py, round 5) must
+    match stock flax BatchNorm — interpret mode on CPU, compiled on TPU."""
+
+    def test_moments_match_numpy(self):
+        from ihmr_tpu.ops.pallas_bn import batch_moments
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(3, 7, 5, 16).astype(np.float32) * 2 + 0.5
+        mean, var = jax.jit(batch_moments)(jnp.asarray(x))
+        flat = x.reshape(-1, 16)
+        np.testing.assert_allclose(np.asarray(mean), flat.mean(0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(var), flat.var(0), rtol=1e-4, atol=1e-6)
+
+    def test_multi_block_rows(self):
+        """Rows > _BLOCK_ROWS exercises grid accumulation + tail masking."""
+        from ihmr_tpu.ops import pallas_bn
+
+        rng = np.random.RandomState(1)
+        rows = pallas_bn._BLOCK_ROWS * 2 + 37  # non-divisible tail
+        x = rng.randn(rows, 8).astype(np.float32)
+        s, s2 = jax.jit(pallas_bn.bn_stats)(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(s), x.sum(0), rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(s2), (x * x).sum(0), rtol=1e-5, atol=1e-4)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_train_mode_matches_stock(self, dtype):
+        import flax.linen as nn
+
+        from ihmr_tpu.models.resnet import PallasStatsBatchNorm
+
+        kw = dict(use_running_average=False, momentum=0.9, epsilon=1e-5,
+                  dtype=dtype, param_dtype=jnp.float32)
+        ref, pal = nn.BatchNorm(**kw), PallasStatsBatchNorm(**kw)
+        x = jnp.asarray(
+            np.random.RandomState(2).randn(4, 8, 8, 16).astype(np.float32) * 3 + 1
+        ).astype(dtype)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        y_ref, m_ref = ref.apply(v, x, mutable=["batch_stats"])
+        y_pal, m_pal = pal.apply(v, x, mutable=["batch_stats"])
+        tol = dict(rtol=1e-2, atol=1e-2) if dtype == jnp.bfloat16 else dict(
+            rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_ref, np.float32), np.asarray(y_pal, np.float32), **tol
+        )
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(m_ref["batch_stats"][k]),
+                np.asarray(m_pal["batch_stats"][k]),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_gradients_match_stock(self):
+        import flax.linen as nn
+
+        from ihmr_tpu.models.resnet import PallasStatsBatchNorm
+
+        kw = dict(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        ref, pal = nn.BatchNorm(**kw), PallasStatsBatchNorm(**kw)
+        x = jnp.asarray(np.random.RandomState(3).randn(4, 4, 4, 8).astype(np.float32))
+        v = ref.init(jax.random.PRNGKey(0), x)
+
+        def grads(mod):
+            def f(params, xx):
+                y, _ = mod.apply(
+                    {"params": params, "batch_stats": v["batch_stats"]},
+                    xx, mutable=["batch_stats"],
+                )
+                return jnp.sum(y * y)
+
+            return jax.grad(f, argnums=(0, 1))(v["params"], x)
+
+        g_ref, gx_ref = grads(ref)
+        g_pal, gx_pal = grads(pal)
+        np.testing.assert_allclose(np.asarray(gx_ref), np.asarray(gx_pal), rtol=1e-4, atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            g_ref, g_pal,
+        )
+
+
 class TestSubNetwork:
     def test_residual_starts_small(self):
         net = SubNetwork(update_dim=6)
