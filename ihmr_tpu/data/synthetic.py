@@ -166,15 +166,122 @@ def generate_interlocked(
         )
 
 
+def generate_grazing(
+    model: ManoModel, batch: int, seed: int, noise: float
+) -> Dict[str, jnp.ndarray]:
+    """Grazing-contact samples: the hands a hair apart, penetration ~zero.
+
+    Same facing/curled pose family as ``generate_interlocked`` but with the
+    wrist offset pushed just past the fingertip-to-palm distance, so GT
+    penetration is near zero (a thin graze on some samples, a small gap on
+    others). This is the OVERSHOOT benchmark (round 5, VERDICT r4 item 6):
+    with no real interpenetration to resolve, any in-loop collision
+    pressure — margins, stale frozen payloads, grid smearing — can only
+    push the hands APART from GT, so the gate metric is GT-joint error,
+    with residual collision as the sanity row. Offset calibration is
+    recorded in the docstring of scripts/quality_study.py.
+    """
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    model_cpu = jax.device_put(model, cpu)
+    with jax.default_device(cpu):
+        rng = np.random.RandomState(seed)
+        pose = np.zeros((batch, 96), np.float32)
+        curl = rng.uniform(0.5, 1.1, size=(batch, 1)).astype(np.float32)
+        for f in range(5):
+            for k in range(3):
+                base = 3 + (f * 3 + k) * 3
+                pose[:, base + 2] = curl[:, 0] + rng.randn(batch).astype(np.float32) * 0.1
+                pose[:, 48 + base + 2] = curl[:, 0] + rng.randn(batch).astype(np.float32) * 0.1
+        pose[:, 49] = np.pi + rng.randn(batch).astype(np.float32) * 0.15
+        pose += rng.randn(batch, 96).astype(np.float32) * 0.05
+        gt_pose = jnp.asarray(pose)
+        gt_shape = jnp.asarray((rng.randn(batch, 20) * 0.3).astype(np.float32))
+        cam = np.tile(np.array([[5.0, 0.0, 0.0]], np.float32), (batch, 1))
+        cam[:, 1:] += rng.randn(batch, 2).astype(np.float32) * 0.02
+        gt_cam = jnp.asarray(cam)
+        # ADAPTIVE offset: decode once at trans=0, then push the left hand
+        # +x until its AABB just clears the right hand's, minus a per-sample
+        # graze band (-2 mm .. +6 mm in mesh units). trans enters the
+        # mirrored composition purely additively on the left half
+        # (mano/layer.py::_mirror_and_anchor), so the shifted decode is
+        # exact without re-decoding. A fixed offset band leaves pose-jitter
+        # outliers interlocked (one seed-0 sample measured penetration 0.19
+        # at offset 0.16-0.22 — deeper than the interlocked bench itself).
+        rv0, lv0, _ = two_hand_decode_mirrored(
+            model_cpu,
+            gt_pose[:, 0:3], gt_pose[:, 48:51],
+            gt_pose[:, 3:48], gt_pose[:, 51:96],
+            gt_shape[:, :10], gt_shape[:, 10:],
+            jnp.zeros((batch, 3), jnp.float32),
+        )
+        gap = rng.uniform(-0.002, 0.006, size=batch).astype(np.float32)
+        tx = (
+            np.asarray(jnp.max(rv0[:, :, 0], axis=1))
+            - np.asarray(jnp.min(lv0[:, :, 0], axis=1))
+            + gap
+        )
+        trans = np.zeros((batch, 3), np.float32)
+        trans[:, 0] = tx
+        trans[:, 1:] = rng.randn(batch, 2).astype(np.float32) * 0.005
+        gt_trans = jnp.asarray(trans)
+
+        _, _, gt_j3, gt_j2 = _decode(model_cpu, gt_pose, gt_shape, gt_trans, gt_cam)
+
+        init_pose = gt_pose + jnp.asarray(rng.randn(batch, 96).astype(np.float32)) * noise
+        init_shape = gt_shape + jnp.asarray(rng.randn(batch, 20).astype(np.float32)) * noise
+        init_trans = gt_trans + jnp.asarray(rng.randn(batch, 3).astype(np.float32)) * noise * 0.2
+        kp_noise = noise * 0.02
+        init_j3 = gt_j3 + jnp.asarray(rng.randn(*gt_j3.shape).astype(np.float32)) * kp_noise
+        init_j2 = gt_j2 + jnp.asarray(rng.randn(*gt_j2.shape).astype(np.float32)) * kp_noise
+
+        return dict(
+            gt_pose=gt_pose,
+            gt_shape=gt_shape,
+            gt_cam=gt_cam,
+            gt_trans=gt_trans,
+            gt_j3=gt_j3,
+            gt_j2=gt_j2,
+            init_pose=init_pose,
+            init_shape=init_shape,
+            init_cam=gt_cam,
+            init_trans=init_trans,
+            init_j3=init_j3,
+            init_j2=init_j2,
+        )
+
+
 def make_opt_inputs(
     model: ManoModel,
     batch: int = 8,
     seed: int = 0,
     noise: float = 0.15,
     interlocked: bool = False,
+    variant: str = None,
 ) -> Tuple[ParamDict, OptBatch]:
-    """Build (initial params, OptBatch) for the OPT workload."""
-    gen = generate_interlocked if interlocked else generate
+    """Build (initial params, OptBatch) for the OPT workload.
+
+    ``variant`` selects the benchmark family (round-5 quality-bench
+    diversity, VERDICT r4 item 6):
+      * ``standard``     broad shallow contact (default; ``generate``)
+      * ``interlocked``  sparse deep finger interlocks (``generate_interlocked``)
+      * ``grazing``      near-zero penetration — hands posed a hair apart so
+                         in-loop pressure can only overshoot (``generate_grazing``)
+      * ``single``       one valid hand (hand_type [1,0]): the collision
+                         loss is masked to zero by the reference contract
+                         (ops/collision.py::depths_to_loss) and the gate is
+                         purely GT-fitting quality
+    ``interlocked=True`` is the legacy spelling of variant='interlocked'.
+    """
+    if variant is None:
+        variant = "interlocked" if interlocked else "standard"
+    gen = {
+        "standard": generate,
+        "single": generate,
+        "interlocked": generate_interlocked,
+        "grazing": generate_grazing,
+    }[variant]
     d = gen(model, batch, seed, noise)
     ones = jnp.ones((batch, 42, 1), jnp.float32)
     ones1 = jnp.ones((batch, 1), jnp.float32)
@@ -182,8 +289,16 @@ def make_opt_inputs(
     params = params_from_init(d["init_cam"], d["init_pose"], d["init_shape"], d["init_trans"])
     init_trans_j = d["init_j3"][:, 21, :] - d["init_j3"][:, 0, :]
 
+    hand_type = (
+        jnp.concatenate(
+            [jnp.ones((batch, 1), jnp.float32), jnp.zeros((batch, 1), jnp.float32)],
+            axis=1,
+        )
+        if variant == "single"
+        else jnp.ones((batch, 2), jnp.float32)
+    )
     opt_batch = OptBatch(
-        hand_type_array=jnp.ones((batch, 2), jnp.float32),
+        hand_type_array=hand_type,
         hand_type_valid=ones1,
         joints_2d=jnp.concatenate([d["gt_j2"], ones], axis=-1),
         joints_3d=jnp.concatenate([d["gt_j3"], ones], axis=-1),

@@ -43,6 +43,7 @@ _TIPS = np.asarray(FINGERTIP_VERTEX_IDS)
 import os as _os
 
 _FK_LEVELS = _os.environ.get("IHMR_FK_LEVELS", "0") == "1"
+_FK_ELEM = _os.environ.get("IHMR_FK_ELEM", "0") == "1"
 # the MANO tree is the wrist + 5 independent depth-3 finger chains; level d
 # holds the d-th joint of every finger (see _fk_levels)
 _FK_LEVEL_IDX = tuple(
@@ -65,6 +66,57 @@ def _fk_chain(rots: "jnp.ndarray", rel_j: "jnp.ndarray"):
             glob_pos[p] + jnp.einsum("bij,bj->bi", glob_rot[p], rel_j[:, k], precision=_PREC)
         )
     return jnp.stack(glob_rot, axis=1), jnp.stack(glob_pos, axis=1)
+
+
+def _fk_elem(rots: "jnp.ndarray", rel_j: "jnp.ndarray"):
+    """FK as a pure ELEMENTWISE DAG over per-component (B,) vectors
+    (IHMR_FK_ELEM=1; round 5, VERDICT r4 item 3b).
+
+    The sequential chain dispatches 15 tiny (B,3,3) matmul products whose
+    MXU tiles are ~99% padding, and the trace says the pose stage is
+    dispatch/latency-bound, not FLOP-bound (see the notes in
+    _decode_from_parts). Here every 3x3 product is unrolled into 27
+    multiply-adds of (B,)-component vectors (B rides the 128-wide lane
+    dimension), so the ENTIRE 15-joint recursion plus the parent-relative
+    translations is one elementwise DAG that XLA fuses into a handful of
+    VPU kernels with no MXU involvement and no per-joint dispatch gaps.
+    Same recursion, same fp32 arithmetic — equivalence-tested against
+    _fk_chain (tests/test_mano.py)."""
+    # unpack to per-component (B,) vectors once; strided slices fuse into
+    # the consuming FMAs
+    R = [[[rots[:, k, i, j] for j in range(3)] for i in range(3)] for k in range(16)]
+    r = [[rel_j[:, k, i] for i in range(3)] for k in range(16)]
+
+    def mat_mul(A, Bm):  # 3x3 @ 3x3, lists of (B,)
+        return [
+            [
+                A[i][0] * Bm[0][j] + A[i][1] * Bm[1][j] + A[i][2] * Bm[2][j]
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+
+    def mat_vec(A, v):  # 3x3 @ 3, lists of (B,)
+        return [A[i][0] * v[0] + A[i][1] * v[1] + A[i][2] * v[2] for i in range(3)]
+
+    glob_R = [R[0]]
+    glob_t = [r[0]]
+    for k in range(1, 16):
+        p = int(MANO_PARENTS[k])
+        glob_R.append(mat_mul(glob_R[p], R[k]))
+        mv = mat_vec(glob_R[p], r[k])
+        glob_t.append([glob_t[p][i] + mv[i] for i in range(3)])
+
+    # repack: (B,16,3,3) and (B,16,3)
+    Rk = jnp.stack(
+        [
+            jnp.stack([jnp.stack(row, axis=-1) for row in gk], axis=-2)
+            for gk in glob_R
+        ],
+        axis=1,
+    )
+    tk = jnp.stack([jnp.stack(gt, axis=-1) for gt in glob_t], axis=1)
+    return Rk, tk
 
 
 def _fk_levels(rots: "jnp.ndarray", rel_j: "jnp.ndarray"):
@@ -234,7 +286,9 @@ def _decode_from_parts(
     # stage-hoisted engine the pose stage is a STANDALONE program, so the
     # variant is kept re-measurable behind IHMR_FK_LEVELS=1 (read at trace
     # time; _fk_levels is equivalence-tested against _fk_chain).
-    R, t = (_fk_levels if _FK_LEVELS else _fk_chain)(rots, rel_j)
+    R, t = (
+        _fk_elem if _FK_ELEM else _fk_levels if _FK_LEVELS else _fk_chain
+    )(rots, rel_j)
 
     # remove rest pose: per-joint affine = [R | t - R @ j_rest]
     t_rel = t - jnp.einsum("bjik,bjk->bji", R, j_rest, precision=_PREC)

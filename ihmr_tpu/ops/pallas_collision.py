@@ -42,6 +42,8 @@ T_TILE = 128  # triangles per inner loop step (sublane dimension)
 
 _BIG = 1e30  # python float: jnp scalars would be captured tracers
 
+from ihmr_tpu.ops.collision import _TIE_REL  # noqa: E402  shared tie tolerance
+
 
 def _tile_d2_dot(q, tri):
     """q: tuple of 3 (1, Q) arrays; tri: (9, T) block.
@@ -173,8 +175,17 @@ def _kernel(qt_ref, tri_ref, cent_ref, bounds_ref, nt_ref, depth_ref, dir_ref):
             t_ids = jax.lax.broadcasted_iota(jnp.int32, (T_TILE, Q_TILE), 0) + t * T_TILE
             d2 = jnp.where(t_ids < n_tri, d2, _BIG)
 
+            # TIE-SET pseudonormal aggregation (round-5 fix): the closest
+            # point can lie on a silhouette edge/vertex shared by front- and
+            # back-facing triangles whose fp32 d2 differ by last-ulp noise —
+            # exact-equality ties miss them and the single winner's normal
+            # gives the WRONG inside sign (points 0.1 outside a curled hand
+            # read as 0.1 deep; see ops/collision.py::_TIE_REL). Aggregate
+            # dot over every triangle within a relative d2 tolerance, both
+            # WITHIN the tile and ACROSS tiles (a strictly better tile
+            # replaces the accumulator; a tying tile adds its dot-sum).
             tile_min = jnp.min(d2, axis=0, keepdims=True)  # (1, Q)
-            is_min = d2 <= tile_min
+            is_min = d2 <= tile_min * (1.0 + _TIE_REL) + 1e-12
             pick = jnp.where(is_min, 1.0, 0.0)
             norm = jnp.maximum(jnp.sum(pick, axis=0, keepdims=True), 1.0)
             tile_dot = jnp.sum(jnp.where(is_min, dot, 0.0), axis=0, keepdims=True) / norm
@@ -183,12 +194,18 @@ def _kernel(qt_ref, tri_ref, cent_ref, bounds_ref, nt_ref, depth_ref, dir_ref):
             tile_dz = jnp.sum(jnp.where(is_min, dz, 0.0), axis=0, keepdims=True) / norm
 
             best_d2 = best_ref[0:1, :]
-            better = tile_min < best_d2
-            best_ref[0:1, :] = jnp.where(better, tile_min, best_d2)
-            best_ref[1:2, :] = jnp.where(better, tile_dot, best_ref[1:2, :])
-            best_ref[2:3, :] = jnp.where(better, tile_dx, best_ref[2:3, :])
-            best_ref[3:4, :] = jnp.where(better, tile_dy, best_ref[3:4, :])
-            best_ref[4:5, :] = jnp.where(better, tile_dz, best_ref[4:5, :])
+            better = tile_min < best_d2 * (1.0 - _TIE_REL)
+            tied = jnp.logical_and(
+                jnp.logical_not(better), tile_min <= best_d2 * (1.0 + _TIE_REL) + 1e-12
+            )
+            best_ref[0:1, :] = jnp.where(
+                better, tile_min, jnp.minimum(best_d2, jnp.where(tied, tile_min, _BIG))
+            )
+            for row, val in ((1, tile_dot), (2, tile_dx), (3, tile_dy), (4, tile_dz)):
+                cur = best_ref[row : row + 1, :]
+                best_ref[row : row + 1, :] = jnp.where(
+                    better, val, jnp.where(tied, cur + val, cur)
+                )
 
         def body(t, _):
             cxt = bounds_ref[0, t]

@@ -423,3 +423,98 @@ class TestGridFastBuild:
         g = pair_grids(rv, lv_far, fr, fl, res=16, num_candidates=1, focus=True)
         d = np.asarray(pair_depths_grid(rv[:, ::2], lv_far[:, ::2], g))
         assert float(np.abs(d).max()) == 0.0
+
+
+class TestRayParityInside:
+    """Ray-parity inside test + the exact-metrics phantom-depth fix (round 5).
+
+    Every local nearest-face sign test misclassifies queries whose global
+    nearest point lies on a self-intersection crease of a strongly curled
+    hand (both incident normals point away): the grazing benchmark measured
+    197/778 vertices of a cleanly separated pair reading ~0.1 'deep'.
+    ray_parity_inside classifies by ray-crossing parity instead; validated
+    at 100% agreement with the generalized winding number on 12,448
+    inter-hand classifications (interlocked + grazing GT poses).
+    """
+
+    def test_sphere_classification(self):
+        from ihmr_tpu.ops.collision import ray_parity_inside
+
+        verts, faces = icosphere(1.0)
+        rng = np.random.RandomState(0)
+        pts = rng.randn(200, 3).astype(np.float32)
+        r = np.linalg.norm(pts, axis=1)
+        inside = np.asarray(
+            jax.jit(
+                lambda q: ray_parity_inside(q, jnp.asarray(verts), jnp.asarray(faces))
+            )(jnp.asarray(pts))
+        )
+        clear = np.abs(r - 1.0) > 0.02  # skip the polyhedral ambiguity band
+        assert np.array_equal(inside[clear], r[clear] < 1.0)
+
+    def test_matches_winding_number_on_hands(self):
+        from ihmr_tpu.data.synthetic import generate_interlocked
+        from ihmr_tpu.mano import synthetic_mano_model
+        from ihmr_tpu.ops.collision import ray_parity_inside
+        from ihmr_tpu.refine.opt_engine import forward, params_from_init
+
+        model = synthetic_mano_model()
+        faces = np.asarray(model.faces)[:, ::-1]  # left-mesh winding
+        d = generate_interlocked(model, 2, 3, 0.15)
+        p = params_from_init(d["gt_cam"], d["gt_pose"], d["gt_shape"], d["gt_trans"])
+        rv, lv, _, _ = jax.jit(lambda q: forward(model, q))(p)
+        for b in range(2):
+            q = np.asarray(rv[b])
+            mesh = np.asarray(lv[b])
+            par = np.asarray(
+                ray_parity_inside(jnp.asarray(q), jnp.asarray(mesh), jnp.asarray(faces))
+            )
+            # generalized winding number (van Oosterom-Strackee solid angles)
+            a = mesh[faces[:, 0]][None] - q[:, None]
+            bb = mesh[faces[:, 1]][None] - q[:, None]
+            c = mesh[faces[:, 2]][None] - q[:, None]
+            la, lb, lc = (np.linalg.norm(x, axis=2) for x in (a, bb, c))
+            num = np.einsum("vfi,vfi->vf", a, np.cross(bb, c))
+            den = (
+                la * lb * lc
+                + np.einsum("vfi,vfi->vf", a, bb) * lc
+                + np.einsum("vfi,vfi->vf", bb, c) * la
+                + np.einsum("vfi,vfi->vf", c, a) * lb
+            )
+            w = np.sum(2 * np.arctan2(num, den), axis=1) / (4 * np.pi) > 0.5
+            assert np.array_equal(par, w)
+
+    def test_grazing_gt_reads_zero_with_parity(self):
+        """The round-5 phantom regression: a cleanly separated grazing pair
+        must measure EXACTLY zero collision with the parity filter, while
+        the raw local sign test reads phantom depth."""
+        from ihmr_tpu.data.synthetic import generate_grazing
+        from ihmr_tpu.mano import synthetic_mano_model
+        from ihmr_tpu.refine.opt_engine import forward, params_from_init
+
+        model = synthetic_mano_model()
+        d = generate_grazing(model, 16, 3, 0.15)
+        p = params_from_init(d["gt_cam"], d["gt_pose"], d["gt_shape"], d["gt_trans"])
+        rv, lv, _, _ = jax.jit(lambda q: forward(model, q))(p)
+        args = (rv, lv, model.faces, model.faces[:, ::-1], jnp.ones((16, 2)))
+        _, per_raw, _ = collision_loss(*args, backend="xla", parity_filter=False)
+        _, per_fix, _ = collision_loss(*args, backend="xla", parity_filter=True)
+        assert float(jnp.max(per_raw)) > 1.0  # the phantom is real
+        assert float(jnp.max(per_fix)) == 0.0
+
+    def test_parity_filter_keeps_clean_overlap(self):
+        """On clean convex geometry the filter must be a no-op: two
+        overlapping spheres report identical depths either way."""
+        v1, f1 = icosphere(1.0, center=(0, 0, 0))
+        v2, f2 = icosphere(1.0, center=(1.2, 0, 0))
+        args = (
+            jnp.asarray(v1)[None],
+            jnp.asarray(v2)[None],
+            jnp.asarray(f1),
+            jnp.asarray(f2),
+            jnp.ones((1, 2)),
+        )
+        _, per_raw, d_raw = collision_loss(*args, backend="xla", parity_filter=False)
+        _, per_fix, d_fix = collision_loss(*args, backend="xla", parity_filter=True)
+        assert float(jnp.max(d_raw)) > 0.0  # they really overlap
+        np.testing.assert_array_equal(np.asarray(d_raw), np.asarray(d_fix))

@@ -118,6 +118,40 @@ class TestManoDecode:
         np.testing.assert_allclose(np.asarray(Rl), np.asarray(Rc), atol=1e-6)
         np.testing.assert_allclose(np.asarray(tl), np.asarray(tc), atol=1e-6)
 
+    def test_fk_elem_equals_chain(self, model):
+        """The elementwise-DAG FK (IHMR_FK_ELEM, round 5) must reproduce the
+        sequential chain: identical recursion with every 3x3 product
+        unrolled to per-component FMAs, also under grad."""
+        import jax
+
+        from ihmr_tpu.core.rotations import axis_angle_to_matrix
+        from ihmr_tpu.mano.layer import _fk_chain, _fk_elem
+        from ihmr_tpu.mano.model import MANO_PARENTS
+
+        rng = np.random.RandomState(1)
+        B = 6
+        pose = jnp.asarray(rng.randn(B, 16, 3).astype(np.float32) * 0.6)
+        rots = axis_angle_to_matrix(pose)
+        j_rest = jnp.asarray(rng.randn(B, 16, 3).astype(np.float32) * 0.02)
+        rel_j = j_rest - jnp.where(
+            (MANO_PARENTS >= 0)[None, :, None],
+            j_rest[:, jnp.maximum(MANO_PARENTS, 0)],
+            0.0,
+        )
+        Rc, tc = _fk_chain(rots, rel_j)
+        Re, te = jax.jit(_fk_elem)(rots, rel_j)
+        np.testing.assert_allclose(np.asarray(Re), np.asarray(Rc), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(te), np.asarray(tc), atol=1e-6)
+
+        def s(fk):
+            return lambda r: jnp.sum(fk(r, rel_j)[0] ** 2) + jnp.sum(
+                fk(r, rel_j)[1] ** 2
+            )
+
+        gc = jax.grad(s(_fk_chain))(rots)
+        ge = jax.grad(s(_fk_elem))(rots)
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gc), atol=1e-5)
+
     def test_jit_and_grad(self, model):
         def loss(pose):
             verts, _ = mano_decode(model, jnp.zeros((2, 3)), pose, jnp.zeros((2, 10)))
