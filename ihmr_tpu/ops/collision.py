@@ -724,26 +724,48 @@ def ray_parity_inside(
     pad = (-F) % chunk
     if pad:
         tri = jnp.concatenate([tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
-    tri_c = tri.reshape(-1, chunk, 3, 3)  # (n_chunks, chunk, 3, 3)
     d = jnp.asarray(_PARITY_DIR, query.dtype)
 
-    def body(acc, tc):
-        v0, v1, v2 = tc[:, 0], tc[:, 1], tc[:, 2]  # (C, 3)
-        e1 = v1 - v0
-        e2 = v2 - v0
-        p = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)  # (C, 3)
-        det = jnp.sum(e1 * p, axis=-1)  # (C,)
-        ok = jnp.abs(det) > 1e-12
-        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-        s = query[:, None, :] - v0[None, :, :]  # (V, C, 3)
-        u = jnp.sum(s * p[None], axis=-1) * inv[None]  # (V, C)
-        qv = jnp.cross(s, e1[None])  # (V, C, 3)
-        v = jnp.sum(qv * d, axis=-1) * inv[None]
-        t = jnp.sum(qv * e2[None], axis=-1) * inv[None]
-        hit = ok[None] & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0)
+    # Möller-Trumbore barycentrics are AFFINE in the query for a fixed ray
+    # direction — with s = q - v0, p = d x e2, m = e1 x d, n = e1 x e2:
+    #   u = (q.p - v0.p)/det,  v = (q.m - v0.m)/det,  t = (q.n - v0.n)/det
+    # so the whole test is three (V,3)x(3,F) matmuls plus per-face affine
+    # constants; no (V,F,3) cross-product intermediates ever materialize
+    # (the first formulation cost ~24 ms at metric shapes, ~8% of the
+    # optimize_batch headline; this one is matmul + fused compares).
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]  # (F', 3)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)
+    m = jnp.cross(e1, jnp.broadcast_to(d, e1.shape))
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(e1 * p, axis=-1)
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    cu = jnp.sum(v0 * p, axis=-1)
+    cv = jnp.sum(v0 * m, axis=-1)
+    ct = jnp.sum(v0 * n, axis=-1)
+
+    def plane(vecs):  # (F', 3) -> (V, F') fp32-exact (sign decisions)
+        return jax.lax.dot_general(
+            query, vecs.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    xs = tuple(
+        a.reshape(-1, chunk, a.shape[-1]) if a.ndim == 2 else a.reshape(-1, chunk)
+        for a in (p, m, n, cu, cv, ct, inv, ok)
+    )
+
+    def body(acc, c):
+        pc, mc, nc, cuc, cvc, ctc, invc, okc = c
+        u = (plane(pc) - cuc[None]) * invc[None]  # (V, C)
+        v = (plane(mc) - cvc[None]) * invc[None]
+        t = (plane(nc) - ctc[None]) * invc[None]
+        hit = okc[None] & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0)
         return acc + jnp.sum(hit.astype(jnp.int32), axis=-1), None
 
-    crossings, _ = jax.lax.scan(body, jnp.zeros(query.shape[0], jnp.int32), tri_c)
+    crossings, _ = jax.lax.scan(body, jnp.zeros(query.shape[0], jnp.int32), xs)
     return (crossings % 2) == 1
 
 
