@@ -59,6 +59,17 @@ def main():
             grid_face_subsample=2,
             grid_num_candidates=4,
         ),
+        # round-5 shipping candidate: warm-started half-length grid pass
+        # over pass-1's output with the focused K=1 fast build at res 24
+        # (the measured escalation_bench frontier; VERDICT r4 item 2c)
+        "esc_warm": dict(
+            escalate_collision=THRESHOLD,
+            grid_face_subsample=2,
+            grid_num_candidates=1,
+            grid_focus=True,
+            grid_res=24,
+            escalate_warm_start=0.5,
+        ),
         "grid": dict(
             loop_collision_fast=False,
             collision_backend="grid",
@@ -112,8 +123,9 @@ def main():
     summary = {}
     for bench in ("standard", "interlocked"):
         by = {r["config"]: r for r in rows if r["bench"] == bench}
-        g, e, ef, s = by["grid"], by["esc"], by["esc_fast"], by["shipping"]
-        for nm, r in (("esc", e), ("esc_fast", ef)):
+        g, s = by["grid"], by["shipping"]
+        for nm in ("esc", "esc_fast", "esc_warm"):
+            r = by[nm]
             d = np.asarray(r["coll_per_seed"]) - np.asarray(g["coll_per_seed"])
             se = float(np.std(d, ddof=1) / np.sqrt(len(d))) if len(d) > 1 else 0.0
             summary[f"{bench}/{nm}_minus_grid"] = dict(

@@ -25,6 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SEEDS = int(os.environ.get("IHMR_STUDY_SEEDS", "16"))
 BATCHES = tuple(int(b) for b in os.environ.get("IHMR_STUDY_BATCHES", "64,128").split(","))
+# round-5 bench families (VERDICT r4 item 6): the grazing cell gates
+# OVERSHOOT (near-zero GT contact - in-loop pressure can only push the
+# hands apart; gate metric is GT-joint error with residual collision as
+# sanity), the single cell gates the non-interacting path (collision
+# masked by the reference contract; GT-joint only). All cells measure
+# the round-5 parity-filtered exact metric.
+BENCHES = tuple(os.environ.get("IHMR_STUDY_BENCHES", "standard,interlocked,grazing,single").split(","))
 # (vertex_sub, face_sub, lazy_reselect, freeze_positions);
 # strict reference = (1, 1, False, False).
 # (2, 2, True, False) was the round-2 shipping default (verified after fixing
@@ -58,7 +65,7 @@ def main():
     model = jax.device_put(model, dev)
 
     rows = []
-    for bench in ("standard", "interlocked"):
+    for bench in BENCHES:
         for B in BATCHES:
             for sub, fsub, lazy, freeze in CONFIGS:
                 cfg = OptConfig(
@@ -72,7 +79,7 @@ def main():
                 t0 = time.perf_counter()
                 for seed in range(SEEDS):
                     params, batch = make_opt_inputs(
-                        model, batch=B, seed=seed, interlocked=(bench == "interlocked")
+                        model, batch=B, seed=seed, variant=bench
                     )
                     params = jax.device_put(params, dev)
                     batch = jax.device_put(batch, dev)
@@ -126,24 +133,33 @@ def main():
     # run under every config, so the per-seed difference cancels the large
     # seed-to-seed scatter; a config passes a cell when its mean paired
     # collision regression is within 2 standard errors of the paired diff.
-    print("\npaired verdicts (mean per-seed collision diff vs strict +/- 2se):")
+    print("\npaired verdicts (mean per-seed collision diff vs strict +/- 2se;\nsingle-hand cells gate on joints_3d instead - collision is masked):")
     ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1, False, False)}
-    for bench in ("standard", "interlocked"):
+    for bench in BENCHES:
         for B in BATCHES:
             r = {((row["sub"], row["fsub"], row["lazy"], row["freeze"])): row
                  for row in rows
                  if row["bench"] == bench and row["batch"] == B}
-            strict = np.asarray(r[(1, 1, False, False)]["coll_per_seed"])
-            for cfg in ok:
-                fast = np.asarray(r[cfg]["coll_per_seed"])
-                d = fast - strict
-                se = float(np.std(d, ddof=1) / np.sqrt(len(d)))
-                verdict = "OK" if d.mean() <= 2 * se else "WORSE"
-                if verdict == "WORSE":
-                    ok[cfg] = False
-                print(f"  {bench:12s} B={B:<4d} sub={cfg[0]} fsub={cfg[1]} "
-                      f"lazy={int(cfg[2])} frz={int(cfg[3])}: "
-                      f"{d.mean():+.4f} +/- {2 * se:.4f}  {verdict}")
+            # single-hand cells: collision is masked to zero by contract, so
+            # the paired gate runs on the GT-joint metric; grazing cells
+            # gate BOTH (overshoot shows up in joints, residual in coll)
+            keys = ("j3d_per_seed",) if bench == "single" else (
+                ("coll_per_seed", "j3d_per_seed") if bench == "grazing"
+                else ("coll_per_seed",)
+            )
+            for key in keys:
+                strict = np.asarray(r[(1, 1, False, False)][key])
+                for cfg in ok:
+                    fast = np.asarray(r[cfg][key])
+                    d = fast - strict
+                    se = float(np.std(d, ddof=1) / np.sqrt(len(d)))
+                    verdict = "OK" if d.mean() <= 2 * se else "WORSE"
+                    if verdict == "WORSE":
+                        ok[cfg] = False
+                    print(f"  {bench:12s} B={B:<4d} {key.split('_')[0]:4s} "
+                          f"sub={cfg[0]} fsub={cfg[1]} "
+                          f"lazy={int(cfg[2])} frz={int(cfg[3])}: "
+                          f"{d.mean():+.4f} +/- {2 * se:.4f}  {verdict}")
     for cfg, good in ok.items():
         print(f"CONFIG sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])} frz={int(cfg[3])}: "
               + ("within noise of strict on every cell" if good else "DEGRADES QUALITY"))
