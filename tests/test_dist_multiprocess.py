@@ -52,6 +52,10 @@ else:
 from ihmr_tpu.refine.mlp_engine import _TRACKED, MLPCaches
 from ihmr_tpu.refine.schedule import PARAM_GROUP_DIMS
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-process / full-schedule tests (fast tier: -m "not slow")
+
 N = 8
 caches = MLPCaches(num_data=N)
 idx = np.arange(rank, N, 2)

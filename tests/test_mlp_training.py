@@ -5,6 +5,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # reference-oracle / full-schedule tests (fast tier: -m "not slow")
+
 from ihmr_tpu.data.synthetic import make_mlp_inputs
 from ihmr_tpu.mano import synthetic_mano_model
 from ihmr_tpu.refine import MLP_DEFAULT_LOSS_WEIGHTS, MLPCaches, OptConfig, mlp_default

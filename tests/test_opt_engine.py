@@ -732,6 +732,7 @@ class TestStageHoist:
         assert not np.allclose(np.asarray(out["cam"]), np.asarray(params["cam"]))
 
 
+@pytest.mark.slow
 class TestEscalation:
     """Two-pass grid escalation (refine/escalation.py, round 4)."""
 
@@ -838,8 +839,13 @@ class TestEscalation:
         )
 
 
+@pytest.mark.slow
 class TestReselectEveryBlocks:
-    """Payload-rebuild decoupling (OptConfig.reselect_every_blocks, round 5)."""
+    """Payload-rebuild decoupling (OptConfig.reselect_every_blocks, round 5).
+
+    slow: each config is a fresh full-engine compile (~8 min total on one
+    CPU core); the fast tier's engine exactness lives in TestStageHoist's
+    tiny-shape cells and TestComputeLosses."""
 
     def test_single_block_identity(self, model, inputs):
         """Schedules that fit in one snapshot block rebuild the payload once

@@ -20,6 +20,10 @@ from ihmr_tpu.refine import OptConfig, opt_default, optimize_batch
 from ihmr_tpu.refine.opt_engine import compute_losses
 from ihmr_tpu.refine.schedule import OPT_DEFAULT_LOSS_WEIGHTS
 
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-process / full-schedule tests (fast tier: -m "not slow")
+
 
 def _refine(model, seed):
     params, batch = make_opt_inputs(model, batch=2, seed=seed, noise=0.2)

@@ -40,6 +40,8 @@ import cv2
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # reference-oracle / full-schedule tests (fast tier: -m "not slow")
+
 torch = pytest.importorskip("torch")
 
 import test_ref_e2e_opt as e2e

@@ -35,6 +35,8 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # reference-oracle / full-schedule tests (fast tier: -m "not slow")
+
 torch = pytest.importorskip("torch")
 
 REF_SRC = "/root/reference/src"

@@ -52,6 +52,8 @@ from types import SimpleNamespace
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # reference-oracle / full-schedule tests (fast tier: -m "not slow")
+
 torch = pytest.importorskip("torch")
 
 import test_ref_e2e_opt as e2e  # shared torch-MANO shim + module stubs
