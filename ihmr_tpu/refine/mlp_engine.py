@@ -209,6 +209,9 @@ def compute_losses(
             robustifier=config.robustifier,
             num_candidates=1 if fast_in_loop else config.num_candidates,
             backend="fast" if fast_in_loop else config.collision_backend,
+            # exact (warm/select/metrics) passes get the round-5 parity
+            # filter; the in-loop gradient path stays on the local test
+            parity_filter=(not in_loop) and config.exact_parity_filter,
         )
     aux["collision_loss"] = coll * weights["collision_loss"]
     aux["collision_loss_batch"] = coll_batch * weights["collision_loss"]

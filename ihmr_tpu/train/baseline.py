@@ -225,6 +225,10 @@ def forward_and_loss(
             batch.hand_type_array,
             robustifier=config.sdf_robustifier if train else None,
             num_candidates=config.num_candidates,
+            # eval passes feed the Evaluator's collision_ave/max: apply the
+            # round-5 parity filter there (metric honesty); the training
+            # gradient keeps the reference's local-sign profile
+            parity_filter=not train,
         )
         m["collision_loss"] = coll * config.collision_loss_weight
         if config.use_collision_loss:
