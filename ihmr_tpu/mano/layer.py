@@ -43,7 +43,16 @@ _TIPS = np.asarray(FINGERTIP_VERTEX_IDS)
 import os as _os
 
 _FK_LEVELS = _os.environ.get("IHMR_FK_LEVELS", "0") == "1"
-_FK_ELEM = _os.environ.get("IHMR_FK_ELEM", "0") == "1"
+# IHMR_FK_ELEM: unset -> the elementwise-DAG FK runs ONLY in the hoisted
+# pose-stage program (where it measured 381.9 -> 340.1 us/step and lifted
+# the OPT headline 408 -> 427 hands/sec; round 5); "1" -> every decode
+# uses it; "0" -> force the sequential chain everywhere. Scoped this way
+# because the nested-scan engines (fused all-stage, MLP train) have a
+# history of pathological compiles with restructured FK (the level-
+# parallel variant's >12 min fused compile, round 2) — the standalone
+# pose program is the measured-safe scope.
+_FK_ELEM_ENV = _os.environ.get("IHMR_FK_ELEM")
+_FK_ELEM = _FK_ELEM_ENV == "1"
 # the MANO tree is the wrist + 5 independent depth-3 finger chains; level d
 # holds the d-th joint of every finger (see _fk_levels)
 _FK_LEVEL_IDX = tuple(
@@ -260,6 +269,7 @@ def _decode_from_parts(
     v_shaped: jnp.ndarray,  # (B, 778, 3)
     j_rest: jnp.ndarray,  # (B, 16, 3)
     rel_j: jnp.ndarray,  # (B, 16, 3)
+    fk: Optional[str] = None,  # None = env-selected; 'elem' | 'chain'
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pose blendshapes + FK + skinning given precomputed rest-shape parts."""
     B = rots.shape[0]
@@ -286,9 +296,11 @@ def _decode_from_parts(
     # stage-hoisted engine the pose stage is a STANDALONE program, so the
     # variant is kept re-measurable behind IHMR_FK_LEVELS=1 (read at trace
     # time; _fk_levels is equivalence-tested against _fk_chain).
-    R, t = (
-        _fk_elem if _FK_ELEM else _fk_levels if _FK_LEVELS else _fk_chain
-    )(rots, rel_j)
+    if fk is None:
+        fk_fn = _fk_elem if _FK_ELEM else _fk_levels if _FK_LEVELS else _fk_chain
+    else:
+        fk_fn = {"elem": _fk_elem, "chain": _fk_chain}[fk]
+    R, t = fk_fn(rots, rel_j)
 
     # remove rest pose: per-joint affine = [R | t - R @ j_rest]
     t_rel = t - jnp.einsum("bjik,bjk->bji", R, j_rest, precision=_PREC)
@@ -301,6 +313,10 @@ def _decode_from_parts(
     # small-op tail), not skinning-row-bound, so row-sliced decode plumbing
     # does not pay. Level-parallel FK on the standalone pose program is a
     # THIRD measured negative (372.8 -> 430.4 us/step, IHMR_FK_LEVELS=1).
+    # Round-5 POSITIVE: the elementwise-DAG FK (_fk_elem) — the same
+    # recursion with every 3x3 product unrolled to (B,)-component FMAs so
+    # no tiny matmul ever pads an MXU tile — measured 381.9 -> 340.1
+    # us/step on the standalone pose program (stage_bench, B=128 v5e).
     Rv = jnp.einsum("vj,bjik->bvik", model.lbs_weights, R, precision=_PREC)
     tv = jnp.einsum("vj,bji->bvi", model.lbs_weights, t_rel, precision=_PREC)
     verts = jnp.einsum("bvik,bvk->bvi", Rv, v_posed, precision=_PREC) + tv
@@ -456,7 +472,11 @@ def two_hand_decode_from_pose_payload(
         hand_pose = hand_pose + hands_mean
     rots_f = axis_angle_to_matrix(hand_pose.reshape(2 * B, 15, 3).astype(dtype))
     rots = jnp.concatenate([rot0[:, None], rots_f], axis=1)  # (2B, 16, 3, 3)
-    verts, lbs_j = _decode_from_parts(right_model, rots, v_shaped, j_rest, rel_j)
+    # elementwise-DAG FK by default in THIS (hoisted pose-stage) program —
+    # the round-5 measured win (381.9 -> 340.1 us/step); IHMR_FK_ELEM=0
+    # forces the chain back (see the env note at _FK_ELEM_ENV)
+    fk = "chain" if _FK_ELEM_ENV == "0" else "elem"
+    verts, lbs_j = _decode_from_parts(right_model, rots, v_shaped, j_rest, rel_j, fk=fk)
     return _mirror_and_anchor(verts, lbs_j, trans, B)
 
 

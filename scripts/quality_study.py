@@ -39,11 +39,15 @@ BENCHES = tuple(os.environ.get("IHMR_STUDY_BENCHES", "standard,interlocked,grazi
 # (2, 2, True, True) additionally freezes the selected triangles' POSITIONS
 # within each snapshot block (round-3 candidate — hoists the dominant
 # per-step gather pair out of the hot loop; OptConfig docstring).
+# A 5th element (reselect_every_blocks) defaults to 1; the round-5
+# candidate (2, 2, True, True, 2) rebuilds the frozen payload every 2
+# snapshot blocks (OptConfig.reselect_every_blocks - the headline lever).
 CONFIGS = (
-    (1, 1, False, False),
-    (1, 1, True, False),
-    (2, 2, True, False),
-    (2, 2, True, True),
+    (1, 1, False, False, 1),
+    (1, 1, True, False, 1),
+    (2, 2, True, False, 1),
+    (2, 2, True, True, 1),
+    (2, 2, True, True, 2),
 )
 
 
@@ -67,13 +71,14 @@ def main():
     rows = []
     for bench in BENCHES:
         for B in BATCHES:
-            for sub, fsub, lazy, freeze in CONFIGS:
+            for sub, fsub, lazy, freeze, kre in CONFIGS:
                 cfg = OptConfig(
                     save_mid_freq=10,
                     loop_collision_subsample=sub,
                     loop_collision_face_subsample=fsub,
                     loop_collision_lazy_reselect=lazy,
                     loop_collision_freeze_positions=freeze,
+                    reselect_every_blocks=kre,
                 )
                 coll, j3dp, dmean, dmax = [], [], [], []
                 t0 = time.perf_counter()
@@ -103,6 +108,7 @@ def main():
                     fsub=fsub,
                     lazy=lazy,
                     freeze=freeze,
+                    kre=kre,
                     coll_mean=float(np.mean(coll)),
                     coll_std=float(np.std(coll)),
                     j3d_mean=float(np.mean(j3dp)),
@@ -115,7 +121,7 @@ def main():
                 )
                 rows.append(row)
                 print(
-                    f"{bench:12s} B={B:<4d} sub={sub} fsub={fsub} lazy={int(lazy)} frz={int(freeze)}: "
+                    f"{bench:12s} B={B:<4d} sub={sub} fsub={fsub} lazy={int(lazy)} frz={int(freeze)} kre={kre}: "
                     f"coll={row['coll_mean']:.4f}+/-{row['coll_std']:.4f}  "
                     f"j3d={row['j3d_mean']:.3f}+/-{row['j3d_std']:.3f}  "
                     f"pen_depth={row['depth_mean']:.5f} max={row['depth_max_mean']:.5f} "
@@ -134,10 +140,10 @@ def main():
     # seed-to-seed scatter; a config passes a cell when its mean paired
     # collision regression is within 2 standard errors of the paired diff.
     print("\npaired verdicts (mean per-seed collision diff vs strict +/- 2se;\nsingle-hand cells gate on joints_3d instead - collision is masked):")
-    ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1, False, False)}
+    ok = {cfg: True for cfg in CONFIGS if cfg != (1, 1, False, False, 1)}
     for bench in BENCHES:
         for B in BATCHES:
-            r = {((row["sub"], row["fsub"], row["lazy"], row["freeze"])): row
+            r = {(row["sub"], row["fsub"], row["lazy"], row["freeze"], row["kre"]): row
                  for row in rows
                  if row["bench"] == bench and row["batch"] == B}
             # single-hand cells: collision is masked to zero by contract, so
@@ -148,7 +154,7 @@ def main():
                 else ("coll_per_seed",)
             )
             for key in keys:
-                strict = np.asarray(r[(1, 1, False, False)][key])
+                strict = np.asarray(r[(1, 1, False, False, 1)][key])
                 for cfg in ok:
                     fast = np.asarray(r[cfg][key])
                     d = fast - strict
@@ -158,10 +164,11 @@ def main():
                         ok[cfg] = False
                     print(f"  {bench:12s} B={B:<4d} {key.split('_')[0]:4s} "
                           f"sub={cfg[0]} fsub={cfg[1]} "
-                          f"lazy={int(cfg[2])} frz={int(cfg[3])}: "
+                          f"lazy={int(cfg[2])} frz={int(cfg[3])} kre={cfg[4]}: "
                           f"{d.mean():+.4f} +/- {2 * se:.4f}  {verdict}")
     for cfg, good in ok.items():
-        print(f"CONFIG sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])} frz={int(cfg[3])}: "
+        print(f"CONFIG sub={cfg[0]} fsub={cfg[1]} lazy={int(cfg[2])} "
+              f"frz={int(cfg[3])} kre={cfg[4]}: "
               + ("within noise of strict on every cell" if good else "DEGRADES QUALITY"))
 
 
