@@ -298,7 +298,7 @@ def build_encoder_predict_fn(encoder, variables, mean_params, mano_right, input_
     from ihmr_tpu.mano.layer import HandParams, two_hand_decode_mirrored
 
     @jax.jit
-    def predict(images):
+    def _predict_packed(images):
         x = (images - 0.5) / 0.5
         params, hand_type = encoder.apply(variables, x, mean_params)
         hp = HandParams.from_flat(params)
@@ -310,11 +310,24 @@ def build_encoder_predict_fn(encoder, variables, mean_params, mano_right, input_
             hp.trans,
         )
         joints2d = orthographic_project(joints3d, hp.cam)
+        B = params.shape[0]
+        # pack all outputs into ONE (B, 334) array: a single device->host
+        # fetch instead of four — each fetch over the tunneled chip costs a
+        # full RPC round trip (round-5 serve_bench decomposition: the 4-key
+        # fan-out was ~95 ms of the ~360 ms request p50)
+        return jnp.concatenate(
+            [params, joints3d.reshape(B, 126), joints2d.reshape(B, 84), hand_type],
+            axis=1,
+        )
+
+    def predict(images):
+        packed = np.asarray(_predict_packed(images))  # one transfer
+        B = packed.shape[0]
         return {
-            "params": params,
-            "joints_3d": joints3d,
-            "joints_2d": joints2d,
-            "hand_type": hand_type,
+            "params": packed[:, :122],
+            "joints_3d": packed[:, 122:248].reshape(B, 42, 3),
+            "joints_2d": packed[:, 248:332].reshape(B, 42, 2),
+            "hand_type": packed[:, 332:334],
         }
 
     return predict

@@ -33,8 +33,11 @@ SIZE = 224
 def post(url, body, ctype):
     req = urllib.request.Request(url, data=body, headers={"Content-Type": ctype})
     t0 = time.perf_counter()
-    with urllib.request.urlopen(req, timeout=60) as resp:
-        payload = resp.read()
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = resp.read()
+    except urllib.error.HTTPError as e:
+        raise RuntimeError(f"HTTP {e.code}: {e.read()[:300]!r}") from e
     return time.perf_counter() - t0, payload
 
 
@@ -70,7 +73,7 @@ def main():
     mano = jax.device_put(mano, dev)
     predict = build_encoder_predict_fn(encoder, variables, mean_params, mano, SIZE)
 
-    batcher = MicroBatcher(predict, max_batch=64, input_shape=(SIZE, SIZE, 3))
+    batcher = MicroBatcher(predict, batch_size=16, input_shape=(SIZE, SIZE, 3))
     srv = InferenceServer(batcher, (SIZE, SIZE, 3))
     port = srv.start(0)
     url = f"http://localhost:{port}/predict"
@@ -78,10 +81,14 @@ def main():
     rng = np.random.RandomState(0)
     imgs = rng.rand(IMAGES, SIZE, SIZE, 3).astype(np.float32)
 
-    # warm the compiled program shapes (bucketed batcher batches)
+    # warm the compiled program IN-PROCESS with a compile-sized timeout (the
+    # HTTP path's 30 s predict timeout is a serving bound, not a compile one)
+    t0 = time.perf_counter()
+    batcher.predict_many(list(imgs), timeout=900.0)
+    print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     post(url, imgs.tobytes(), "application/octet-stream")
-    print(f"warmup (compile): {time.perf_counter() - t0:.1f}s", flush=True)
+    print(f"first http round trip (warm): {time.perf_counter() - t0:.2f}s", flush=True)
 
     results = {}
     for name, body, ctype in (
