@@ -32,7 +32,12 @@ ModuleDef = Any
 #     151.8); XLA:TPU lowers tuple reduces outside its fast reduction
 #     emitter. Kept as a re-measurable negative result.
 #   * pallas (PallasStatsBatchNorm, single-pass Pallas accumulation):
-#     measured by scripts/train_bench.py with IHMR_BN_IMPL=pallas.
+#     ALSO a measured negative — fp32 67.0 / bf16 34.4 / collision-on
+#     80.9 ms/step at batch 64 vs stock 52.8 / 28.4 / 65.6 (+21-27%;
+#     scripts/train_bench.py, 2026-08-20). Conclusion for the lever: the
+#     two stock reduces already fuse into the surrounding convert/
+#     elementwise work, so any single-read restructuring breaks that
+#     fusion and pays more than the second HBM read it saves.
 # Read at TRACE time like IHMR_FK_LEVELS — flipping it mid-process does
 # not recompile already-jitted programs.
 _BN_IMPL = os.environ.get(

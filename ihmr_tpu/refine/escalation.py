@@ -37,12 +37,16 @@ log2(B) distinct pass-2 program shapes ever compile; a batch with NO
 flagged samples never touches the grid program at all, which is what keeps
 the standard-benchmark cost identical to the fast engine.
 
-Restarting pass 2 from the INITIAL params (not pass-1's output) is
-deliberate: it reproduces what the reference itself would have produced for
-that sample — the grid mechanism driving the whole stage schedule — rather
-than a hybrid trajectory the reference never runs; the running-best
-select/filter machinery inside the engine still guards every stage against
-regressions vs the same init.
+Pass 2 WARM-STARTS from pass-1's fitted params with a half-length schedule
+by default (round 5, ``OptConfig.escalate_warm_start=0.5``): the
+honest-metric bench measured warm-start strictly better on the standard
+family (faster AND lower residual) and neutral on interlocked
+(docs/ROUND5.md item 2). Set ``escalate_warm_start=0`` to restart pass 2
+from the INITIAL params instead — that reproduces what the reference
+itself would have produced for the flagged sample (the grid mechanism
+driving the whole stage schedule) rather than a hybrid trajectory; the
+running-best select/filter machinery inside the engine guards every stage
+against regressions vs its init either way.
 """
 
 from __future__ import annotations
@@ -66,8 +70,16 @@ def _bucket_size(n: int, batch: int) -> int:
 
 
 def grid_config(config):
-    """The pass-2 engine config: same schedule semantics, grid in-loop."""
-    return config.replace(
+    """The pass-2 engine config: same schedule semantics, grid in-loop.
+
+    ``reselect_every_blocks`` is pinned to 1 here: stale grid fields are a
+    measured NEGATIVE for the escalation pass (docs/ROUND5.md esc_k4 —
+    staler grids resolve interlocks worse), unlike the nearest-face
+    payloads where kre=2 is the quality-gated shipping default. With
+    ``escalate_fast_build`` (default) the measured round-5 build profile
+    (K=1, stride-2 surface, focused res-24 lattice) replaces the grid_*
+    knobs for this pass only."""
+    cfg = config.replace(
         loop_collision_fast=False,
         collision_backend="grid",
         loop_collision_subsample=1,
@@ -75,7 +87,16 @@ def grid_config(config):
         loop_collision_alternate=False,
         escalate_collision=0.0,
         escalate_warm_start=0.0,
+        reselect_every_blocks=1,
     )
+    if config.escalate_fast_build:
+        cfg = cfg.replace(
+            grid_num_candidates=1,
+            grid_face_subsample=2,
+            grid_focus=True,
+            grid_res=24,
+        )
+    return cfg
 
 
 def warm_strategy(strategy: Tuple[Stage, ...], frac: float) -> Tuple[Stage, ...]:

@@ -194,9 +194,13 @@ class OptConfig:
     # Staleness argument: vertex motion is ~mm per Adam step and both the
     # nearest-face selection (discrete, slow-moving) and the grid field
     # (~5 mm voxels) change on scales far above k*save_mid_freq steps of
-    # drift; gated by the round-5 paired quality study before shipping a
-    # non-1 default. 1 = the round-4 behavior (rebuild every block).
-    reselect_every_blocks: int = flax.struct.field(pytree_node=False, default=1)
+    # drift. Default 2 (round 5): +4.5% headline (426.6 -> 446.0 hands/sec
+    # at B=128) and OK on every cell of the 16-seed 4-family paired study
+    # (standard/interlocked/grazing/single x B=64/128,
+    # docs/quality_study.json). 1 = the round-4 behavior (rebuild every
+    # block); NOTE under escalation the staler pass-1/grids are a measured
+    # NEGATIVE (docs/ROUND5.md) — escalation.py pins kre=1 for pass 2.
+    reselect_every_blocks: int = flax.struct.field(pytree_node=False, default=2)
 
     # In-loop SHELL margin in mesh units (round 4, from the interlock
     # diagnosis — docs/interlock_diag.json): nearest-face depths become
@@ -228,9 +232,23 @@ class OptConfig:
     # pressure on buried vertices, so a shortened grid polish from the
     # fitted pose can buy most of the quality at a fraction of the pass-2
     # cost. The keep-best merge guard still applies (a warm pass-2 result
-    # ships only if it reduced that sample's exact collision). 0 = the
-    # round-4 from-init restart (reference-faithful trajectory).
-    escalate_warm_start: float = flax.struct.field(pytree_node=False, default=0.0)
+    # ships only if it reduced that sample's exact collision). Default 0.5
+    # (round 5): the honest-metric bench measured warm-start strictly
+    # better on the standard family (38.0 vs 25.5 hands/sec AND residual
+    # 0.279 vs 0.333) and neutral on interlocked (docs/ROUND5.md item 2).
+    # 0 = the round-4 from-init restart (reference-faithful trajectory).
+    escalate_warm_start: float = flax.struct.field(pytree_node=False, default=0.5)
+
+    # Escalation pass-2 FAST BUILD (round 5): True applies the measured
+    # grid-build profile to pass 2 — grid_num_candidates=1 (the K-gather
+    # epilogue was ~90% of the build cost), grid_face_subsample=2,
+    # grid_focus=True with grid_res=24 (the focused intersection-box
+    # lattice lands finer-than-reference cells at res 24;
+    # docs/escalation_study.json + ROUND5.md) — regardless of the grid_*
+    # knobs, which continue to control the `--loop_collision_backend grid`
+    # in-loop path. False = pass 2 builds with the user's grid_* knobs
+    # (reference-faithful full build by default).
+    escalate_fast_build: bool = flax.struct.field(pytree_node=False, default=True)
 
     # Grid-build fast knobs (escalation pass / grid_in_loop backend):
     # voxelize against every k-th Morton-sorted face (spatially uniform
@@ -444,6 +462,16 @@ def compute_losses(
             backend, num_candidates = "xla", 1
     else:
         backend, num_candidates = config.collision_backend, config.num_candidates
+        if not in_loop and backend == "grid":
+            # The grid field is an IN-LOOP mechanism; FINAL metrics always
+            # measure true penetration with the exact backend (the contract
+            # stated at OptConfig.loop_collision_margin). Round-5 fix: the
+            # epilogue previously inherited backend='grid' here, so a
+            # grid-config run reported grid-SAMPLED final collision — and
+            # escalation's keep-best merge compared pass-2 grid-metric
+            # values against pass-1 exact-metric values (caught by
+            # TestEscalation: identical params, different 'exact' metric).
+            backend, num_candidates = "auto", 8
     sub = config.loop_collision_subsample if in_loop else 1
     fsub = config.loop_collision_face_subsample if in_loop else 1
     # faces may be strided (a Morton-uniform sub-mesh over the FULL vertex

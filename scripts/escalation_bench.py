@@ -11,11 +11,17 @@ docs/ROUND4.md.
 Run on the real TPU:  python scripts/escalation_bench.py
 """
 
+import os
 import os.path as osp
 import sys
 import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+# comma list of config names to run (default all), e.g.
+#   IHMR_ESC_CONFIGS=base,esc_default python scripts/escalation_bench.py
+_ONLY = os.environ.get("IHMR_ESC_CONFIGS", "")
+_BENCHES = os.environ.get("IHMR_ESC_BENCHES", "standard,interlocked").split(",")
 
 
 def main():
@@ -32,14 +38,20 @@ def main():
     dev = jax.devices()[0]
     print("dev:", dev, flush=True)
     model = jax.device_put(synthetic_mano_model(), dev)
-    for bench in ("standard", "interlocked"):
+    for bench in _BENCHES:
         params, batch = make_opt_inputs(
             model, batch=128, seed=0, interlocked=(bench == "interlocked")
         )
         params = jax.device_put(params, dev)
         batch = jax.device_put(batch, dev)
+        # escalate_fast_build=False so each leg's explicit grid_* knobs
+        # reach pass 2 (the round-5 default profile otherwise overrides
+        # them; the esc_default leg below measures that shipping profile)
+        # (warm start pinned off too — the esc_warm/esc_all legs opt in
+        # explicitly; round-5 defaults are warm 0.5 + fast build)
         fast = dict(escalate_collision=0.5, grid_face_subsample=2,
-                    grid_num_candidates=1, grid_focus=True)
+                    grid_num_candidates=1, grid_focus=True,
+                    escalate_fast_build=False, escalate_warm_start=0.0)
         for name, kw in (
             ("base", {}),
             # round-4 fast-build profile: K=1 (the K-gather epilogue was
@@ -55,7 +67,13 @@ def main():
             ("esc_warm", dict(fast, escalate_warm_start=0.5)),
             ("esc_all", dict(fast, grid_res=24, reselect_every_blocks=4,
                              escalate_warm_start=0.5)),
+            # the round-5 SHIPPING default profile: escalate_collision set,
+            # everything else OptConfig defaults (kre2 pass 1 / kre1 pass 2,
+            # warm 0.5, fast build r24 focused K=1 fsub2)
+            ("esc_default", dict(escalate_collision=0.5)),
         ):
+            if _ONLY and name not in _ONLY.split(","):
+                continue
             cfg = OptConfig(save_mid_freq=10, **kw)
             t0 = time.perf_counter()
             out = optimize_batch(model, params, batch, opt_default, cfg)

@@ -1,0 +1,139 @@
+"""IHMR-MLP full-curriculum soak at reference scale THROUGH THE CLI.
+
+VERDICT round-4 item 8: the library-level soak (scripts/mlp_soak.py,
+docs/MLP_SOAK.md) covers n=2048; this driver proves the end-to-end
+number at >=100K samples through the actual product entry point
+(`python -m ihmr_tpu.cli train-mlp`, ref src/train_mlp.py) — data decode,
+warm pass, 6-stage curriculum (ref src/strategies/mlp_default.py), select
+passes, checkpointing and cache bookkeeping all included.
+
+    python scripts/mlp_cli_soak.py [n_samples] [batch]
+
+Writes the synthetic corpus in the reference's anno/pred pkl schema
+(ref src/data/data_utils.py:42-70) with MANO-consistent GT + noisy init
+params from ihmr_tpu.data.synthetic.generate, then shells out to the CLI
+and records per-phase wall-clock into docs/MLP_SOAK.md.
+"""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 102400
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+CHUNK = 512
+IMG_HW = (120, 90)  # reference-corpus-like small source images
+
+
+def build_corpus(root: str) -> None:
+    """anno.pkl + pred.pkl + images, GT/init from the MANO-consistent
+    synthetic generator (same protocol as the library soak)."""
+    import cv2
+    import numpy as np
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")  # generation is setup
+    from ihmr_tpu.data.synthetic import generate
+    from ihmr_tpu.mano import synthetic_mano_model
+    from ihmr_tpu.utils import io_utils
+
+    model = synthetic_mano_model()
+    img_dir = osp.join(root, "hand26m/image")
+    io_utils.build_dir(img_dir)
+
+    # 16 distinct pre-encoded pngs, cycled: decode cost per item is real,
+    # write cost is a byte copy (images are inputs to the data layer only —
+    # the MLP consumes the cached 1024-d img_feat, ref mlp_model.py)
+    rng = np.random.RandomState(7)
+    blobs = []
+    for _ in range(16):
+        img = (rng.rand(*IMG_HW, 3) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        assert ok
+        blobs.append(buf.tobytes())
+
+    side = float(max(IMG_HW))
+    annos, preds = [], {}
+    t0 = time.perf_counter()
+    for c in range(N // CHUNK):
+        d = {k: np.asarray(v) for k, v in generate(model, CHUNK, 1000 + c, 0.15).items()}
+        feat = np.abs(np.random.RandomState(2000 + c).randn(CHUNK, 1024)).astype(np.float32)
+
+        # inverse of the dataset's letterbox+normalize: px = (j2+1)/2*side
+        # so the engine sees GT 2D in the projection space s(X+t) it
+        # predicts in (data/datasets.py letterbox; pp.normalize_joints_2d)
+        def to_px(j2):
+            return ((j2 + 1.0) * 0.5 * side).astype(np.float32)
+
+        for i in range(CHUNK):
+            idx = c * CHUNK + i
+            img_path = f"img_{idx:06d}.png"
+            with open(osp.join(img_dir, img_path), "wb") as f:
+                f.write(blobs[idx % len(blobs)])
+            annos.append(dict(
+                img_path=img_path,
+                hand_type="interacting",
+                hand_type_valid=1.0,
+                joints_2d=to_px(d["gt_j2"][i]),
+                joints_3d=d["gt_j3"][i].astype(np.float32),
+                scale=1.0,
+                right_hand_param=dict(pose=d["gt_pose"][i, :48], shape=d["gt_shape"][i, :10]),
+                left_hand_param=dict(pose=d["gt_pose"][i, 48:], shape=d["gt_shape"][i, 10:]),
+            ))
+            preds[img_path] = dict(
+                pred_cam_params=d["init_cam"][i].astype(np.float32),
+                pred_shape_params=d["init_shape"][i].astype(np.float32),
+                pred_pose_params=d["init_pose"][i].astype(np.float32),
+                pred_hand_trans=d["init_trans"][i].astype(np.float32),
+                joints_2d=to_px(d["init_j2"][i]),
+                joints_3d=d["init_j3"][i].astype(np.float32),
+                img_feat=feat[i],
+            )
+        if c % 20 == 0:
+            print(f"corpus chunk {c}/{N // CHUNK} ({time.perf_counter() - t0:.0f}s)",
+                  flush=True)
+    io_utils.save_pkl(osp.join(root, "anno.pkl"), annos)
+    io_utils.save_pkl(osp.join(root, "pred.pkl"), preds)
+    print(f"corpus: {N} samples in {time.perf_counter() - t0:.0f}s -> {root}",
+          flush=True)
+
+
+def main():
+    root = os.environ.get("IHMR_SOAK_ROOT", f"/tmp/ihmr_mlp_soak_{N}")
+    if not osp.exists(osp.join(root, "pred.pkl")):
+        build_corpus(root)
+    else:
+        print(f"reusing corpus at {root}")
+
+    ckpt = osp.join(root, "checkpoints")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the CLI run targets the real chip
+    cmd = [
+        sys.executable, "-m", "ihmr_tpu.cli", "train-mlp",
+        "--data_root", root, "--anno_path", "anno.pkl",
+        "--pred_path", osp.join(root, "pred.pkl"),
+        "--batchSize", str(BATCH), "--checkpoints_dir", ckpt,
+        "--synthetic_mano",
+    ]
+    print("running:", " ".join(cmd), flush=True)
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, env=env, cwd=osp.dirname(osp.dirname(osp.abspath(__file__))))
+    total = time.perf_counter() - t0
+    assert proc.returncode == 0, f"CLI failed rc={proc.returncode}"
+
+    out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "docs", "MLP_SOAK.md")
+    with open(out, "a") as f:
+        f.write(
+            f"\n## CLI soak {time.strftime('%Y-%m-%d %H:%M')} — n={N}, batch={BATCH}"
+            f" through `python -m ihmr_tpu.cli train-mlp` (full mlp_default"
+            f" curriculum, warm + 6 stages + select passes + checkpoints):"
+            f" **{total:.0f}s wall**\n"
+        )
+    print(f"\nCLI train-mlp at n={N}: {total:.0f}s wall (appended to {out})")
+
+
+if __name__ == "__main__":
+    main()

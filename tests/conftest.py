@@ -43,3 +43,24 @@ def _clear_jax_caches_per_module():
     recompile cost is small; the map count stays bounded."""
     yield
     jax.clear_caches()
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux fallback: never trips the guard
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _map_count_guard():
+    """Per-TEST backstop for the same vm.max_map_count crash: a single heavy
+    module (test_opt_engine compiles dozens of full-engine programs) can
+    cross the limit before its module-scope clear runs (observed round 5:
+    deterministic SIGSEGV inside LLVM during the escalation test's pass-2
+    compile at ~46% of the suite). Reading /proc/self/maps is ~1 ms; clear
+    as soon as the process nears the default 65530 ceiling."""
+    yield
+    if _map_count() > 45000:
+        jax.clear_caches()

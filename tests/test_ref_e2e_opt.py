@@ -395,6 +395,9 @@ def test_full_optimize_matches_reference(ref_env, inputs):
         save_mid_freq=_FREQ,
         loop_collision_subsample=1,
         loop_collision_face_subsample=1,
+        # oracle exactness: fresh payload every block (the shipping kre=2
+        # default coarsens payload freshness; reference rebuilds per step)
+        reselect_every_blocks=1,
     )
     out_params, results = optimize_batch(model, params, batch, _our_stages(), cfg)
 
@@ -438,6 +441,9 @@ def test_full_optimize_matches_reference_sgd(ref_env, inputs):
         optimizer="sgd",
         loop_collision_subsample=1,
         loop_collision_face_subsample=1,
+        # oracle exactness: fresh payload every block (the shipping kre=2
+        # default coarsens payload freshness; reference rebuilds per step)
+        reselect_every_blocks=1,
     )
     out_params, _results = optimize_batch(
         model, params, batch, _our_stages(sgd_stages), cfg
@@ -539,6 +545,9 @@ def test_full_schedule_trajectory_parity(ref_env):
         save_mid_freq=_FULL_FREQ,
         loop_collision_subsample=1,
         loop_collision_face_subsample=1,
+        # oracle exactness: fresh payload every block (the shipping kre=2
+        # default coarsens payload freshness; reference rebuilds per step)
+        reselect_every_blocks=1,
     )
     out_params, results = optimize_batch(model, params, batch, our_stages, cfg)
 
