@@ -118,6 +118,12 @@ def main():
         "--batchSize", str(BATCH), "--checkpoints_dir", ckpt,
         "--synthetic_mano",
     ]
+    # IHMR_SOAK_STAGE_EPOCHS=k time-boxes each stage to k epochs (the
+    # curriculum still runs all 6 stages + warm + per-stage select/sync);
+    # unset = the reference's full 2-5-epoch schedule
+    se = os.environ.get("IHMR_SOAK_STAGE_EPOCHS")
+    if se:
+        cmd += ["--stage_epochs", se]
     print("running:", " ".join(cmd), flush=True)
     t0 = time.perf_counter()
     proc = subprocess.run(cmd, env=env, cwd=osp.dirname(osp.dirname(osp.abspath(__file__))))
@@ -125,11 +131,12 @@ def main():
     assert proc.returncode == 0, f"CLI failed rc={proc.returncode}"
 
     out = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "docs", "MLP_SOAK.md")
+    label = f"{se} epoch(s)/stage" if se else "full 2-5-epoch schedule"
     with open(out, "a") as f:
         f.write(
             f"\n## CLI soak {time.strftime('%Y-%m-%d %H:%M')} — n={N}, batch={BATCH}"
-            f" through `python -m ihmr_tpu.cli train-mlp` (full mlp_default"
-            f" curriculum, warm + 6 stages + select passes + checkpoints):"
+            f" through `python -m ihmr_tpu.cli train-mlp` (6-stage mlp_default"
+            f" curriculum at {label}, warm + select passes + checkpoints):"
             f" **{total:.0f}s wall**\n"
         )
     print(f"\nCLI train-mlp at n={N}: {total:.0f}s wall (appended to {out})")
