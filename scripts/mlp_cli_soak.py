@@ -111,6 +111,9 @@ def main():
     ckpt = osp.join(root, "checkpoints")
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # the CLI run targets the real chip
+    # the CLI's per-stage loss prints block-buffer when stdout is a file;
+    # a multi-hour soak with a silent log is undebuggable
+    env["PYTHONUNBUFFERED"] = "1"
     cmd = [
         sys.executable, "-m", "ihmr_tpu.cli", "train-mlp",
         "--data_root", root, "--anno_path", "anno.pkl",
